@@ -1,0 +1,139 @@
+"""Distributed gather/scatter tests vs host reference (reference:
+test_wholegraph_gather_scatter.py:130-165 — allclose vs deterministic
+value-from-index features, over memory-type/partition combos)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wholegraph_tpu.memory import PartitionPlan, ShardedTable
+
+from conftest import deterministic_rows
+
+
+def make_table(mesh, n, dim, plan=None, dtype=np.float32):
+    ref = deterministic_rows(n, dim, dtype)
+    tab = ShardedTable.from_array(mesh, ref, plan=plan)
+    return tab, ref
+
+
+def put_ids(mesh, ids):
+    return jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data")))
+
+
+PLANS = ["equal", "custom", "round_robin"]
+
+
+def plan_for(kind, n, world):
+    if kind == "equal":
+        return PartitionPlan.equal(n, world)
+    if kind == "custom":
+        rng = np.random.RandomState(42)
+        cuts = np.sort(rng.choice(n, world - 1, replace=False))
+        sizes = np.diff(np.concatenate([[0], cuts, [n]]))
+        return PartitionPlan.custom(tuple(int(x) for x in sizes))
+    return PartitionPlan.round_robin(n, world, 16)
+
+
+@pytest.mark.parametrize("plan_kind", PLANS)
+@pytest.mark.parametrize("method", ["a2a", "allgather"])
+def test_gather_matches_reference(mesh8, plan_kind, method):
+    n, dim, B = 1000, 32, 256
+    plan = plan_for(plan_kind, n, 8)
+    tab, ref = make_table(mesh8, n, dim, plan)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, n, B).astype(np.int64)
+    out = tab.gather(put_ids(mesh8, ids), method=method)
+    np.testing.assert_allclose(np.asarray(out), ref[ids], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("plan_kind", PLANS)
+def test_gather_skewed_ids(mesh8, plan_kind):
+    """All ids hit one shard — exercises ragged capacity; factor high enough."""
+    n, dim, B = 512, 16, 64
+    plan = plan_for(plan_kind, n, 8)
+    tab, ref = make_table(mesh8, n, dim, plan)
+    ids = np.full(B, 3, dtype=np.int64)  # all the same row
+    out = tab.gather(put_ids(mesh8, ids), method="a2a", capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(out), ref[ids])
+
+
+def test_gather_int32_ids(mesh8):
+    n, dim, B = 300, 8, 64
+    tab, ref = make_table(mesh8, n, dim)
+    ids = np.random.RandomState(1).randint(0, n, B).astype(np.int32)
+    out = tab.gather(put_ids(mesh8, ids))
+    np.testing.assert_allclose(np.asarray(out), ref[ids])
+
+
+def test_gather_under_jit(mesh8):
+    n, dim, B = 1000, 32, 256
+    tab, ref = make_table(mesh8, n, dim)
+    ids = np.random.RandomState(2).randint(0, n, B).astype(np.int64)
+
+    @jax.jit
+    def f(tab, ids):
+        return tab.gather(ids)
+
+    out = f(tab, put_ids(mesh8, ids))
+    np.testing.assert_allclose(np.asarray(out), ref[ids])
+
+
+@pytest.mark.parametrize("plan_kind", PLANS)
+def test_scatter_matches_reference(mesh8, plan_kind):
+    n, dim, B = 600, 16, 128
+    plan = plan_for(plan_kind, n, 8)
+    tab, ref = make_table(mesh8, n, dim, plan)
+    rng = np.random.RandomState(3)
+    ids = rng.choice(n, B, replace=False).astype(np.int64)  # unique ids
+    rows = rng.randn(B, dim).astype(np.float32)
+    tab2 = tab.scatter(put_ids(mesh8, ids), jax.device_put(
+        jnp.asarray(rows), NamedSharding(mesh8, P("data", None))))
+    expect = ref.copy()
+    expect[ids] = rows
+    np.testing.assert_allclose(tab2.to_array(), expect)
+
+
+def test_scatter_accumulate(mesh8):
+    n, dim, B = 64, 8, 64
+    tab, ref = make_table(mesh8, n, dim)
+    # duplicate ids: all devices write to the same few rows, accumulate
+    ids = (np.arange(B) % 4).astype(np.int64)
+    rows = np.ones((B, dim), dtype=np.float32)
+    tab2 = tab.scatter(
+        put_ids(mesh8, ids),
+        jax.device_put(jnp.asarray(rows), NamedSharding(mesh8, P("data", None))),
+        accumulate=True,
+    )
+    expect = ref.copy()
+    for i, r in zip(ids, rows):
+        expect[i] += r
+    np.testing.assert_allclose(tab2.to_array(), expect, rtol=1e-6)
+
+
+def test_world1_paths():
+    mesh1 = jax.sharding.Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    n, dim = 100, 8
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh1, ref)
+    ids = np.array([0, 5, 99, 5], dtype=np.int64)
+    out = tab.gather(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), ref[ids])
+    tab2 = tab.scatter(jnp.asarray(ids[:2]), jnp.zeros((2, dim), jnp.float32))
+    expect = ref.copy()
+    expect[ids[:2]] = 0
+    np.testing.assert_allclose(tab2.to_array(), expect)
+
+
+def test_create_and_roundtrip(mesh8):
+    tab = ShardedTable.create(mesh8, 100, 16)
+    assert tab.shape == (100, 16)
+    assert np.asarray(tab.to_array()).sum() == 0
+    arr = deterministic_rows(100, 16)
+    tab = ShardedTable.from_array(mesh8, arr)
+    np.testing.assert_allclose(tab.to_array(), arr)
+    # local_shard covers each shard's rows
+    got = np.concatenate([tab.local_shard(s) for s in range(8)])
+    assert got.shape == arr.shape

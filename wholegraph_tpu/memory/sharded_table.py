@@ -1,0 +1,175 @@
+"""ShardedTable — the WholeMemory-equivalent distributed tensor.
+
+TPU-native replacement for the reference's WholeMemory handle + tensor
+(reference: cpp/src/wholememory/memory_handle.cpp — continuous / chunked /
+distributed / hierarchy mapping types — and wholememory_tensor.cpp).  The
+entire pointer-mapping zoo (CUDA VMM, cudaIpc, shm, NVSHMEM) collapses into a
+single representation on TPU: one logical ``[n, dim]`` array stored as a
+GSPMD row-sharded physical array ``[world*capacity, dim]`` over a named mesh
+axis, with the :class:`~wholegraph_tpu.memory.partition.PartitionPlan`
+supplying the logical→(shard, slot) map (including non-equal and round-robin
+partitions).  Remote access happens through collectives (see ops/gather.py),
+never through peer pointers.
+
+The table is a pytree: ``data`` is the traced leaf, everything else is static,
+so tables pass freely through jit/shard_map/grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.gather import gather as _gather_rows, scatter as _scatter_rows
+from ..utils.error import check_input
+from .partition import PartitionPlan
+
+Array = jax.Array
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedTable:
+    """A logical ``[n, dim]`` tensor row-sharded over a mesh axis.
+
+    Attributes:
+      data: physical array ``[world*capacity, dim]``, sharded ``P(axis, None)``.
+      plan: row partition plan.
+      mesh: the device mesh.
+      axis: mesh axis name the rows are sharded over.
+      dim: feature dimension (0 → the table is 1-D ``[n]``).
+    """
+
+    data: Array
+    plan: PartitionPlan
+    mesh: Mesh
+    axis: str = "data"
+
+    # -- pytree protocol ------------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.data,), (self.plan, self.mesh, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        plan, mesh, axis = aux
+        return cls(children[0], plan, mesh, axis)
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def n(self) -> int:
+        return self.plan.n
+
+    @property
+    def dim(self) -> int:
+        return self.data.shape[1] if self.data.ndim > 1 else 0
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def shape(self):
+        return (self.n, self.dim) if self.dim else (self.n,)
+
+    @property
+    def sharding(self) -> NamedSharding:
+        spec = P(self.axis, None) if self.data.ndim > 1 else P(self.axis)
+        return NamedSharding(self.mesh, spec)
+
+    # -- creation -------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        mesh: Mesh,
+        n: int,
+        dim: int,
+        dtype=jnp.float32,
+        *,
+        axis: str = "data",
+        plan: Optional[PartitionPlan] = None,
+        init: Optional[Callable] = None,
+        key: Optional[Array] = None,
+    ) -> "ShardedTable":
+        """Collectively allocate a zero/initialised table (create_wholememory
+        analog, memory_handle.cpp:1793)."""
+        world = mesh.shape[axis]
+        if plan is None:
+            plan = PartitionPlan.equal(n, world)
+        check_input(plan.world == world, "plan world != mesh axis size")
+        phys_shape = (plan.total_physical_rows, dim) if dim else (plan.total_physical_rows,)
+        spec = P(axis, None) if dim else P(axis)
+        sharding = NamedSharding(mesh, spec)
+        if init is None:
+            make = jax.jit(
+                lambda: jnp.zeros(phys_shape, dtype), out_shardings=sharding
+            )
+            data = make()
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            make = jax.jit(lambda k: init(k, phys_shape, dtype), out_shardings=sharding)
+            data = make(key)
+        return ShardedTable(data, plan, mesh, axis)
+
+    @staticmethod
+    def from_array(
+        mesh: Mesh,
+        arr,
+        *,
+        axis: str = "data",
+        plan: Optional[PartitionPlan] = None,
+    ) -> "ShardedTable":
+        """Build a table from a host/global logical ``[n, dim]`` array,
+        permuting rows into the physical partition layout."""
+        arr = np.asarray(arr)
+        n = arr.shape[0]
+        world = mesh.shape[axis]
+        if plan is None:
+            plan = PartitionPlan.equal(n, world)
+        check_input(plan.world == world, "plan world != mesh axis size")
+        check_input(plan.n == n, "plan rows != array rows")
+        dim = arr.shape[1] if arr.ndim > 1 else 0
+        phys_shape = (plan.total_physical_rows, dim) if dim else (plan.total_physical_rows,)
+        phys = np.zeros(phys_shape, dtype=arr.dtype)
+        phys[plan.physical_index_np(np.arange(n, dtype=np.int64))] = arr
+        spec = P(axis, None) if dim else P(axis)
+        data = jax.device_put(phys, NamedSharding(mesh, spec))
+        return ShardedTable(data, plan, mesh, axis)
+
+    # -- access ---------------------------------------------------------------
+
+    def gather(self, ids, **kw) -> Array:
+        """Rows by logical id (wholememory_gather analog)."""
+        return _gather_rows(
+            self.data, ids, plan=self.plan, mesh=self.mesh, axis=self.axis, **kw
+        )
+
+    def scatter(self, ids, rows, **kw) -> "ShardedTable":
+        """Write rows by logical id; returns a new table (functional)."""
+        data = _scatter_rows(
+            self.data, ids, rows, plan=self.plan, mesh=self.mesh, axis=self.axis, **kw
+        )
+        return dataclasses.replace(self, data=data)
+
+    def to_array(self) -> np.ndarray:
+        """Materialise the logical [n, dim] array on host (tests/IO)."""
+        phys = np.asarray(jax.device_get(self.data))
+        return phys[self.plan.physical_index_np(np.arange(self.n, dtype=np.int64))]
+
+    def local_shard(self, s: int) -> np.ndarray:
+        """Host copy of shard ``s``'s owned rows (slot order, no padding) —
+        get_local_memory analog, used by checkpoint/file IO."""
+        cap = self.plan.capacity
+        phys = np.asarray(jax.device_get(self.data))
+        return phys[s * cap : s * cap + self.plan.shard_rows[s]]
+
+    def sub_rows(self, start: int, stop: int) -> np.ndarray:
+        """Host copy of logical rows [start, stop) (subtensor analog)."""
+        return self.to_array()[start:stop]

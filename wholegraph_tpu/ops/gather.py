@@ -1,0 +1,374 @@
+"""Distributed gather/scatter over row-sharded tables.
+
+TPU-native replacement for the reference's gather/scatter stack:
+
+* the raw vectorised gather/scatter kernels
+  (reference: cpp/src/wholememory_ops/functions/gather_scatter_func.cuh:211-446)
+  become a local row ``take`` (XLA gather / Pallas kernel, see
+  :mod:`wholegraph_tpu.ops.gather_pallas`);
+* the NCCL bucket-exchange path — bucket ids by owner rank → alltoallv ids →
+  local gather → alltoallv embeddings → reorder
+  (reference: cpp/src/wholememory_ops/functions/gather_op_impl_nccl.cu:34-185,
+  exchange_ids_nccl_func.cu, bucket_ids_func.cu:52) — becomes a bucket-by-owner
+  + all-to-all exchange inside ``shard_map``, with XLA collectives over the
+  ICI mesh instead of NCCL;
+* the direct-mapped (NVLink/chunked/continuous) and NVSHMEM one-sided paths
+  collapse into the same collective path (no peer-mapped HBM on TPU).
+
+XLA is shape-static, so the alltoallv becomes one of:
+
+* ``'a2a'`` (default): dense padded buckets — each device sends up to
+  ``bucket_capacity`` ids to each owner in a ``[world, bucket_capacity]``
+  buffer (sentinel-padded), one ``lax.all_to_all`` each way.  With uniformly
+  distributed ids the per-owner load is ``B/world``; capacity defaults to 2x
+  that.  Ids beyond a bucket's capacity are DROPPED (their output rows are 0) —
+  the same trade MoE routing makes; raise ``capacity_factor`` for skewed id
+  distributions or use 'allgather'.
+* ``'ragged'``: exact alltoallv via ``lax.ragged_all_to_all`` with a whole-
+  device receive capacity (TPU backends only; XLA:CPU lacks the op).
+* ``'allgather'``: exact, no capacity assumption, W× communication volume.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..memory.partition import PartitionPlan
+from ..utils.error import check_input
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Local take / write (single-shard hot loop)
+# ---------------------------------------------------------------------------
+
+
+def local_take(shard: Array, slots: Array) -> Array:
+    """Gather rows of a local shard: out[i] = shard[slots[i]].
+
+    The local analog of gather_func_kernel (gather_scatter_func.cuh:254).
+    Uses XLA's gather; on TPU a Pallas double-buffered DMA kernel can be
+    swapped in (ops/gather_pallas.py) for large rows.
+    """
+    return jnp.take(shard, slots, axis=0, mode="clip")
+
+
+def local_write(shard: Array, slots: Array, rows: Array, mask: Optional[Array] = None) -> Array:
+    """Scatter rows into a local shard (scatter_func_kernel analog).
+    Out-of-bounds slots are dropped; ``mask=False`` rows are dropped too."""
+    if mask is not None:
+        slots = jnp.where(mask, slots, shard.shape[0])
+    return shard.at[slots].set(rows, mode="drop")
+
+
+def local_add(shard: Array, slots: Array, rows: Array, mask: Optional[Array] = None) -> Array:
+    if mask is not None:
+        slots = jnp.where(mask, slots, shard.shape[0])
+    return shard.at[slots].add(rows, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Bucketing (bucket_ids_for_ranks_kernel analog, bucket_ids_func.cu:52)
+# ---------------------------------------------------------------------------
+
+
+def bucket_by_owner(ids: Array, owner: Array, world: int, cap: int, fill):
+    """Pack ids into per-owner buckets ``[world, cap]``.
+
+    Returns (bucket, src_pos) where ``bucket[w, j]`` is the j-th id owned by
+    shard w (or ``fill`` padding) and ``src_pos[w, j]`` is its position in the
+    original ids array (or ``-1``).  Ids past ``cap`` per owner are dropped.
+    """
+    B = ids.shape[0]
+    order = jnp.argsort(owner, stable=True)
+    sowner = owner[order]
+    sids = ids[order]
+    counts = jnp.bincount(owner, length=world)
+    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank_in_bucket = jnp.arange(B) - offsets[sowner]
+    bucket = jnp.full((world, cap), fill, dtype=ids.dtype)
+    bucket = bucket.at[sowner, rank_in_bucket].set(sids, mode="drop")
+    src_pos = jnp.full((world, cap), -1, dtype=jnp.int32)
+    src_pos = src_pos.at[sowner, rank_in_bucket].set(order.astype(jnp.int32), mode="drop")
+    return bucket, src_pos
+
+
+# ---------------------------------------------------------------------------
+# Dense padded all-to-all bodies (run inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _gather_shard_a2a(
+    shard: Array,
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    cap: int,
+):
+    """Per-device distributed gather: bucket → a2a ids → local take → a2a rows
+    → un-permute (gather_op_impl_nccl.cu:101-170 analog)."""
+    world = plan.world
+    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    ids = ids.astype(idt)
+    oob = jnp.asarray(plan.n, idt)  # sentinel: one past the last logical row
+    owner = plan.owner(ids)
+    bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+
+    # requests: row w of my bucket goes to device w
+    req = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True)
+    # req[v*cap:(v+1)*cap] = ids device v asks of me
+    req = req.reshape(world, cap)
+
+    valid = req < oob
+    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
+    rows = local_take(shard, slots.reshape(world * cap))
+    rows = jnp.where(valid.reshape(-1, 1), rows, jnp.zeros_like(rows))
+
+    # replies: chunk v of rows goes back to device v
+    back = lax.all_to_all(
+        rows.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(world * cap, -1)
+
+    out = jnp.zeros((ids.shape[0], back.shape[1]), back.dtype)
+    pos = src_pos.reshape(world * cap)
+    pos = jnp.where(pos >= 0, pos, ids.shape[0])  # drop padding
+    out = out.at[pos].set(back, mode="drop")
+    return out
+
+
+def _scatter_shard_a2a(
+    shard: Array,
+    ids: Array,
+    rows: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    cap: int,
+    accumulate: bool,
+):
+    """Per-device distributed scatter (scatter_op_impl_nccl.cu analog)."""
+    world = plan.world
+    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    ids = ids.astype(idt)
+    oob = jnp.asarray(plan.n, idt)
+    owner = plan.owner(ids)
+    bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+
+    # gather the rows into bucket order; padding rows point past the end
+    pos = src_pos.reshape(world * cap)
+    row_bucket = jnp.take(rows, jnp.where(pos >= 0, pos, rows.shape[0]), axis=0, mode="fill", fill_value=0)
+
+    recv_ids = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True).reshape(
+        world * cap
+    )
+    recv_rows = lax.all_to_all(
+        row_bucket.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(world * cap, -1)
+
+    valid = recv_ids < oob
+    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, recv_ids, 0)), shard.shape[0])
+    if accumulate:
+        return shard.at[slots].add(recv_rows.astype(shard.dtype), mode="drop")
+    return shard.at[slots].set(recv_rows.astype(shard.dtype), mode="drop")
+
+
+def _gather_shard_allgather(shard: Array, ids: Array, *, plan: PartitionPlan, axis: str):
+    """Exact fallback: all_gather ids, masked local take, psum_scatter rows."""
+    world = plan.world
+    me = lax.axis_index(axis)
+    B = ids.shape[0]
+    all_ids = lax.all_gather(ids, axis_name=axis).reshape(world * B)
+    owner = plan.owner(all_ids)
+    mine = owner == me
+    slots = plan.local_slot(all_ids)
+    rows = local_take(shard, slots)
+    rows = jnp.where(mine[:, None], rows, jnp.zeros_like(rows))
+    out = lax.psum_scatter(rows, axis_name=axis, scatter_dimension=0, tiled=True)
+    return out.reshape(B, *shard.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Ragged (exact alltoallv) path — TPU only
+# ---------------------------------------------------------------------------
+
+
+def _gather_shard_ragged(
+    shard: Array,
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    recv_capacity: int,
+):
+    """Exact alltoallv via lax.ragged_all_to_all (unsupported on XLA:CPU)."""
+    world = plan.world
+    me = lax.axis_index(axis)
+    B = ids.shape[0]
+    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    ids = ids.astype(idt)
+    owner = plan.owner(ids)
+    order = jnp.argsort(owner, stable=True)
+    sids = ids[order]
+
+    send_counts = jnp.bincount(owner, length=world).astype(jnp.int32)
+    send_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(send_counts)[:-1].astype(jnp.int32)]
+    )
+    C = lax.all_gather(send_counts, axis_name=axis)  # C[v, w] = count v -> w
+    recv_counts = C[:, me].astype(jnp.int32)
+    recv_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_counts)[:-1].astype(jnp.int32)]
+    )
+    req_out_off = (jnp.cumsum(C, axis=0) - C)[me].astype(jnp.int32)
+    reply_out_off = (jnp.cumsum(C, axis=1) - C)[:, me].astype(jnp.int32)
+
+    recv_ids = lax.ragged_all_to_all(
+        sids,
+        jnp.full((recv_capacity,), plan.n, idt),
+        send_offsets,
+        send_counts,
+        req_out_off,
+        recv_counts,
+        axis_name=axis,
+    )
+    valid = recv_ids < plan.n
+    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, recv_ids, 0)), 0)
+    rows = local_take(shard, slots)
+    out_sorted = lax.ragged_all_to_all(
+        rows,
+        jnp.zeros((B,) + rows.shape[1:], rows.dtype),
+        recv_offsets,
+        recv_counts,
+        reply_out_off,
+        send_counts,
+        axis_name=axis,
+    )
+    out = jnp.zeros_like(out_sorted)
+    return out.at[order].set(out_sorted)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _bucket_cap(B_local: int, world: int, factor: float) -> int:
+    # mean load per owner times `factor`, plus an additive margin that covers
+    # the binomial tail at small batch sizes
+    mean = -(-B_local // world)
+    cap = _round_up(int(mean * factor) + 16, 8)
+    return min(cap, B_local)
+
+
+def gather(
+    data: Array,
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    mesh: Mesh,
+    axis: str = "data",
+    method: str = "auto",
+    capacity_factor: float = 2.0,
+) -> Array:
+    """Gather rows by logical id from a row-sharded table.
+
+    Args:
+      data: physical table ``[world*capacity, D]`` sharded ``P(axis, None)``.
+      ids: logical row ids, sharded ``P(axis)`` (each device holds its batch).
+      plan: the table's partition plan.
+      method: 'a2a' (padded-bucket all-to-all, default), 'ragged' (exact
+        alltoallv; TPU only), 'allgather' (exact, W× comm).
+      capacity_factor: per-owner bucket headroom over the uniform load.
+    Returns:
+      rows ``[B, D]`` with the same sharding as ``ids``.
+    """
+    world = plan.world
+    check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
+    if world == 1:
+        phys = plan.physical_index(ids)
+        return local_take(data, phys)
+
+    if method == "auto":
+        method = "a2a"
+
+    B_global = ids.shape[0]
+    check_input(B_global % world == 0, "global batch must divide mesh axis")
+    B_local = B_global // world
+
+    if method == "allgather":
+        body = functools.partial(_gather_shard_allgather, plan=plan, axis=axis)
+    elif method == "a2a":
+        cap = _bucket_cap(B_local, world, capacity_factor)
+        body = functools.partial(_gather_shard_a2a, plan=plan, axis=axis, cap=cap)
+    elif method == "ragged":
+        recv_capacity = _round_up(max(int(B_local * capacity_factor), world, 8), 8)
+        recv_capacity = min(recv_capacity, world * B_local)
+        body = functools.partial(
+            _gather_shard_ragged, plan=plan, axis=axis, recv_capacity=recv_capacity
+        )
+    else:
+        raise ValueError(f"unknown gather method {method!r}")
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return fn(data, ids)
+
+
+def scatter(
+    data: Array,
+    ids: Array,
+    rows: Array,
+    *,
+    plan: PartitionPlan,
+    mesh: Mesh,
+    axis: str = "data",
+    accumulate: bool = False,
+    capacity_factor: float = 2.0,
+) -> Array:
+    """Scatter rows into a row-sharded table by logical id; returns new table.
+
+    Duplicate ids: with ``accumulate=False`` the winning writer is unspecified
+    (same caveat as the reference scatter); with ``accumulate=True`` all
+    contributions sum.
+    """
+    world = plan.world
+    check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
+    if world == 1:
+        phys = plan.physical_index(ids)
+        if accumulate:
+            return data.at[phys].add(rows.astype(data.dtype), mode="drop")
+        return data.at[phys].set(rows.astype(data.dtype), mode="drop")
+
+    B_global = ids.shape[0]
+    check_input(B_global % world == 0, "global batch must divide mesh axis")
+    B_local = B_global // world
+    cap = _bucket_cap(B_local, world, capacity_factor)
+
+    body = functools.partial(
+        _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return fn(data, ids, rows)
