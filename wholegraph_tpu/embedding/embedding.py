@@ -1,0 +1,293 @@
+"""Trainable distributed embedding tables.
+
+TPU-native replacement for the reference's embedding layer (reference:
+cpp/src/wholememory/embedding.{hpp,cpp} and the python wrapper
+torch/embedding.py).  An embedding = a row-sharded parameter table + per-row
+optimizer state slots (extra sharded arrays, the analog of the reference's
+optimizer state WholeMemory tensors) + a global step counter.
+
+Forward (``gather``) is the distributed gather of ops/gather.py
+(wholememory_embedding_gather, embedding.cpp:1053).  Backward follows the
+reference flow exactly (embedding_base::gather_gradient_apply,
+embedding.cpp:146-300): bucket ids+grads by owner → all-to-all exchange →
+sort + segment-sum dedup (dedup_indice_and_gradients, :261-269) → sparse
+optimizer step on the touched rows of the local shard only.
+
+JAX-idiomatic autodiff integration: instead of a torch autograd Function that
+buffers (ids, grad) pairs, the training step makes the gathered rows an
+explicit intermediate — ``rows = emb.gather(state, ids)``; the trainer takes
+``jax.grad`` with respect to ``rows`` and feeds the row-gradients to
+:meth:`Embedding.apply_gradients`.  This matches the reference's deferred
+apply (EmbeddingLookupFn.backward just records, torch/embedding.py:214-238)
+while keeping everything functional.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..memory.partition import PartitionPlan
+from ..ops.gather import _bucket_cap, bucket_by_owner, gather as _gather_rows
+from ..utils.error import check_input
+from .optimizers import SGD, SparseOptimizer
+
+Array = jax.Array
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EmbeddingState:
+    """Traced state: physical table + optimizer slot arrays + step counter."""
+
+    table: Array
+    slots: Dict[str, Array]
+    step: Array
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.slots))
+        return (self.table, tuple(self.slots[n] for n in names), self.step), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        table, slot_vals, step = children
+        return cls(table, dict(zip(names, slot_vals)), step)
+
+
+def _apply_grad_shard(
+    shard: Array,
+    slot_shards: tuple,
+    ids: Array,
+    grads: Array,
+    step: Array,
+    lr: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    cap: int,
+    opt: SparseOptimizer,
+    slot_names: tuple,
+):
+    """Per-device gradient apply (embedding.cpp:146-300 analog)."""
+    world = plan.world
+    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    ids = ids.astype(idt)
+    oob = jnp.asarray(plan.n, idt)
+
+    if world > 1:
+        owner = plan.owner(ids)
+        bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+        pos = src_pos.reshape(world * cap)
+        grad_bucket = jnp.take(
+            grads, jnp.where(pos >= 0, pos, grads.shape[0]), axis=0, mode="fill", fill_value=0
+        )
+        recv_ids = lax.all_to_all(
+            bucket, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(world * cap)
+        recv_grads = lax.all_to_all(
+            grad_bucket.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(world * cap, -1)
+    else:
+        recv_ids, recv_grads = ids, grads
+
+    R = recv_ids.shape[0]
+    # --- dedup: sort by id, segment-sum duplicate gradients ---
+    order = jnp.argsort(recv_ids)
+    sids = recv_ids[order]
+    sgrads = recv_grads[order].astype(jnp.float32)
+    valid_row = sids < oob
+    sgrads = jnp.where(valid_row[:, None], sgrads, 0.0)
+    leader = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]]) & valid_row
+    seg = jnp.maximum(jnp.cumsum(leader) - 1, 0)
+    seg_grads = jax.ops.segment_sum(sgrads, seg, num_segments=R)
+    uids = jax.ops.segment_min(sids, seg, num_segments=R)
+    valid = uids < oob
+
+    # --- sparse optimizer step on touched local rows ---
+    slots_local = plan.local_slot(jnp.where(valid, uids, 0))
+    take_idx = jnp.where(valid, slots_local, 0)
+    prow = jnp.take(shard, take_idx, axis=0).astype(jnp.float32)
+    srow = {
+        n: jnp.take(s, take_idx, axis=0).astype(jnp.float32)
+        for n, s in zip(slot_names, slot_shards)
+    }
+    new_rows, new_srow = opt.update(prow, seg_grads, srow, step, lr)
+
+    write_idx = jnp.where(valid, slots_local, shard.shape[0])  # drop padding
+    shard = shard.at[write_idx].set(new_rows.astype(shard.dtype), mode="drop")
+    new_slot_shards = tuple(
+        s.at[write_idx].set(new_srow[n].astype(s.dtype), mode="drop")
+        for n, s in zip(slot_names, slot_shards)
+    )
+    return shard, new_slot_shards
+
+
+@dataclasses.dataclass(frozen=True)
+class Embedding:
+    """Static embedding config (wholememory_embedding_t analog,
+    embedding.h:74-244).  All methods are functional over EmbeddingState."""
+
+    plan: PartitionPlan
+    dim: int
+    mesh: Mesh
+    axis: str = "data"
+    dtype: object = jnp.float32
+    optimizer: SparseOptimizer = dataclasses.field(default_factory=SGD)
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def create(
+        mesh: Mesh,
+        n: int,
+        dim: int,
+        *,
+        optimizer: Optional[SparseOptimizer] = None,
+        dtype=jnp.float32,
+        axis: str = "data",
+        plan: Optional[PartitionPlan] = None,
+    ) -> "Embedding":
+        world = mesh.shape[axis]
+        if plan is None:
+            plan = PartitionPlan.equal(n, world)
+        check_input(plan.world == world, "plan world != mesh axis size")
+        return Embedding(
+            plan=plan,
+            dim=dim,
+            mesh=mesh,
+            axis=axis,
+            dtype=dtype,
+            optimizer=optimizer or SGD(),
+        )
+
+    @property
+    def _sharding(self):
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def init(
+        self,
+        key: Optional[Array] = None,
+        initializer: Optional[Callable] = None,
+    ) -> EmbeddingState:
+        """Initialise table (+ zero optimizer slots, create_optimizer_states
+        analog).  Default init: scaled normal."""
+        phys = (self.plan.total_physical_rows, self.dim)
+        if initializer is None:
+            scale = 1.0 / np.sqrt(max(self.dim, 1))
+            initializer = lambda k, s, d: (jax.random.normal(k, s) * scale).astype(d)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        make_t = jax.jit(
+            lambda k: initializer(k, phys, self.dtype), out_shardings=self._sharding
+        )
+        table = make_t(key)
+        make_z = jax.jit(lambda: jnp.zeros(phys, jnp.float32), out_shardings=self._sharding)
+        slots = {n: make_z() for n in self.optimizer.slot_names}
+        return EmbeddingState(table, slots, jnp.zeros((), jnp.int32))
+
+    def from_array(self, arr) -> EmbeddingState:
+        """Build state from a host logical [n, dim] array."""
+        arr = np.asarray(arr)
+        check_input(arr.shape == (self.plan.n, self.dim), "array shape mismatch")
+        phys = np.zeros((self.plan.total_physical_rows, self.dim), dtype=arr.dtype)
+        phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))] = arr
+        table = jax.device_put(phys.astype(np.dtype(self.dtype)), self._sharding)
+        zeros = np.zeros_like(phys, dtype=np.float32)
+        slots = {
+            n: jax.device_put(zeros.copy(), self._sharding)
+            for n in self.optimizer.slot_names
+        }
+        return EmbeddingState(table, slots, jnp.zeros((), jnp.int32))
+
+    # -- forward --------------------------------------------------------------
+
+    def gather(self, state: EmbeddingState, ids: Array, **kw) -> Array:
+        """Embedding lookup (wholememory_embedding_gather analog)."""
+        return _gather_rows(
+            state.table, ids, plan=self.plan, mesh=self.mesh, axis=self.axis, **kw
+        )
+
+    # -- backward / optimizer -------------------------------------------------
+
+    def apply_gradients(
+        self,
+        state: EmbeddingState,
+        ids: Array,
+        grads: Array,
+        lr,
+        *,
+        capacity_factor: float = 2.0,
+    ) -> EmbeddingState:
+        """Sparse update from (ids, row-gradients)
+        (wholememory_embedding_gather_gradient_apply analog, embedding.cpp:1083).
+
+        ids/grads are sharded over the mesh axis like a gather batch; duplicate
+        ids — within and across devices — are deduplicated with summed grads.
+        """
+        world = self.plan.world
+        step = state.step + 1
+        lr = jnp.asarray(lr, jnp.float32)
+        slot_names = tuple(sorted(state.slots))
+        slot_vals = tuple(state.slots[n] for n in slot_names)
+
+        if world == 1:
+            shard, new_slots = _apply_grad_shard(
+                state.table,
+                slot_vals,
+                ids,
+                grads,
+                step,
+                lr,
+                plan=self.plan,
+                axis=self.axis,
+                cap=0,
+                opt=self.optimizer,
+                slot_names=slot_names,
+            )
+            return EmbeddingState(shard, dict(zip(slot_names, new_slots)), step)
+
+        B_global = ids.shape[0]
+        check_input(B_global % world == 0, "global batch must divide mesh axis")
+        cap = _bucket_cap(B_global // world, world, capacity_factor)
+
+        body = functools.partial(
+            _apply_grad_shard,
+            plan=self.plan,
+            axis=self.axis,
+            cap=cap,
+            opt=self.optimizer,
+            slot_names=slot_names,
+        )
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis, None),
+                tuple(P(self.axis, None) for _ in slot_vals),
+                P(self.axis),
+                P(self.axis, None),
+                P(),
+                P(),
+            ),
+            out_specs=(P(self.axis, None), tuple(P(self.axis, None) for _ in slot_vals)),
+            check_vma=False,
+        )
+        table, new_slots = fn(state.table, slot_vals, ids, grads, step, lr)
+        return EmbeddingState(table, dict(zip(slot_names, new_slots)), step)
+
+    # -- host access (tests / checkpoint) -------------------------------------
+
+    def to_array(self, state: EmbeddingState) -> np.ndarray:
+        phys = np.asarray(jax.device_get(state.table))
+        return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
+
+    def slot_to_array(self, state: EmbeddingState, name: str) -> np.ndarray:
+        phys = np.asarray(jax.device_get(state.slots[name]))
+        return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
