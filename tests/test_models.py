@@ -1,0 +1,165 @@
+"""Conv layer + model tests: numpy references for the padded convs, gradient
+flow, and end-to-end sampled training descent (reference: the model layer is
+exercised through examples; we test convs directly like cugraph-ops does)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wholegraph_tpu.graph import GraphStructure
+from wholegraph_tpu.graph.structure import HopSubgraph
+from wholegraph_tpu.models import (
+    FullGraph,
+    GATConv,
+    GCNConv,
+    HomoGNN,
+    RGCNConv,
+    SAGEConv,
+    cross_entropy_loss,
+)
+from wholegraph_tpu.ops import spmm as S
+
+import host_sampler as hs
+
+
+def make_hop(B, K, U, seed=0):
+    rs = np.random.RandomState(seed)
+    nbr = rs.randint(0, U, (B, K)).astype(np.int32)
+    mask = rs.rand(B, K) > 0.3
+    return HopSubgraph(
+        nbr_idx=jnp.asarray(np.where(mask, nbr, 0)),
+        mask=jnp.asarray(mask),
+        center_mask=jnp.ones((B,), bool),
+    )
+
+
+def test_padded_reduce_matches_numpy():
+    B, K, U, D = 8, 5, 32, 16
+    hop = make_hop(B, K, U)
+    x = np.random.RandomState(1).randn(U, D).astype(np.float32)
+    nbr = np.asarray(hop.nbr_idx)
+    mask = np.asarray(hop.mask)
+    for red in ["sum", "mean", "max"]:
+        out = np.asarray(S.padded_reduce(jnp.asarray(x), hop.nbr_idx, hop.mask, red))
+        for i in range(B):
+            sel = x[nbr[i][mask[i]]]
+            if len(sel) == 0:
+                expect = np.zeros(D)
+            elif red == "sum":
+                expect = sel.sum(0)
+            elif red == "mean":
+                expect = sel.mean(0)
+            else:
+                expect = sel.max(0)
+            np.testing.assert_allclose(out[i], expect, rtol=1e-5, atol=1e-6, err_msg=red)
+
+
+def test_spmm_sddmm_matches_numpy():
+    E, N, D = 64, 16, 8
+    rs = np.random.RandomState(2)
+    dst = np.sort(rs.randint(0, N, E)).astype(np.int32)
+    src = rs.randint(0, N, E).astype(np.int32)
+    x = rs.randn(N, D).astype(np.float32)
+    out = np.asarray(S.spmm(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x), N, "sum"))
+    expect = np.zeros((N, D), np.float32)
+    np.add.at(expect, dst, x[src])
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+    e = np.asarray(S.sddmm(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(e, (x[dst] * x[src]).sum(-1), rtol=1e-5, atol=1e-5)
+
+
+def test_sage_conv_manual():
+    """SAGEConv output == W·[x_self, mean(x_neigh)] + b by construction."""
+    B, K, U, D = 4, 3, 10, 6
+    hop = make_hop(B, K, U, seed=3)
+    x = np.random.RandomState(4).randn(U, D).astype(np.float32)
+    conv = SAGEConv(out_dim=5)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x), hop)
+    out = conv.apply(params, jnp.asarray(x), hop)
+    Wk = np.asarray(params["params"]["proj"]["kernel"])
+    bk = np.asarray(params["params"]["proj"]["bias"])
+    neigh = np.asarray(S.padded_reduce(jnp.asarray(x), hop.nbr_idx, hop.mask, "mean"))
+    expect = np.concatenate([x[:B], neigh], -1) @ Wk + bk
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("conv_cls", [SAGEConv, GCNConv])
+def test_conv_full_graph_mode(conv_cls):
+    N, D = 12, 8
+    rs = np.random.RandomState(5)
+    dst = np.sort(rs.randint(0, N, 40)).astype(np.int32)
+    src = rs.randint(0, N, 40).astype(np.int32)
+    g = FullGraph(jnp.asarray(src), jnp.asarray(dst), N)
+    x = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    conv = conv_cls(out_dim=4)
+    params = conv.init(jax.random.PRNGKey(0), x, g)
+    out = conv.apply(params, x, g)
+    assert out.shape == (N, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gat_conv_padded_attention_normalised():
+    B, K, U, D = 4, 3, 10, 6
+    hop = make_hop(B, K, U, seed=6)
+    x = jnp.asarray(np.random.RandomState(7).randn(U, D).astype(np.float32))
+    conv = GATConv(out_dim=4, num_heads=2)
+    params = conv.init(jax.random.PRNGKey(0), x, hop)
+    out = conv.apply(params, x, hop)
+    assert out.shape == (B, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rgcn_conv_padded():
+    B, K, U, D, R = 4, 3, 10, 6, 3
+    hop = make_hop(B, K, U, seed=8)
+    et = jnp.asarray(np.random.RandomState(9).randint(0, R, (B, K)))
+    x = jnp.asarray(np.random.RandomState(10).randn(U, D).astype(np.float32))
+    conv = RGCNConv(out_dim=4, num_relations=R)
+    params = conv.init(jax.random.PRNGKey(0), x, hop, et)
+    out = conv.apply(params, x, hop, et)
+    assert out.shape == (B, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("model_type", ["sage", "gcn", "gat"])
+def test_homo_gnn_sampled_training_descends(model_type):
+    n, D, C, B = 200, 16, 5, 16
+    row_ptr, col = hs.random_csr(n, avg_deg=6, seed=11)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=int(row_ptr[-1]),
+        max_degree=int(np.diff(row_ptr).max()),
+    )
+    rs = np.random.RandomState(12)
+    feats = rs.randn(n, D).astype(np.float32)
+    labels = rs.randint(0, C, n)
+
+    model = HomoGNN(model_type=model_type, hidden_dim=16, num_classes=C, num_layers=2)
+    centers = np.arange(B)
+    ml = g.multilayer_sample(jnp.asarray(centers), (4, 3), seed=0)
+    x = jnp.asarray(feats)[ml.unique_gids] * ml.unique_mask[:, None]
+    params = model.init(jax.random.PRNGKey(0), x, sample=ml)
+    y = jnp.asarray(labels[centers])
+
+    @jax.jit
+    def step(params, ml, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x, sample=ml)
+            return cross_entropy_loss(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.tree.map(lambda p, g_: p - 0.05 * g_, params, grads), loss
+
+    losses = []
+    for it in range(30):
+        ml = g.multilayer_sample(jnp.asarray(centers), (4, 3), seed=it)
+        x = jnp.asarray(feats)[ml.unique_gids] * ml.unique_mask[:, None]
+        params, loss = step(params, ml, x, y)
+        losses.append(float(loss))
+    # smoke test: loss must clearly descend and stay finite
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert np.isfinite(losses).all()

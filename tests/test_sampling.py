@@ -1,0 +1,146 @@
+"""Sampler tests: bit-exact host parity + statistical properties
+(reference: cpp/tests/wholegraph_ops/*_sample_without_replacement_tests.cu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wholegraph_tpu.memory import ShardedTable
+from wholegraph_tpu.ops import rng
+from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+import host_sampler as hs
+
+
+def test_rng_device_host_parity():
+    a = np.arange(1000, dtype=np.uint32)
+    b = np.full(1000, 7, np.uint32)
+    dev = np.asarray(rng.rand_u32(123, jnp.asarray(a), jnp.asarray(b)))
+    host = hs.rng.rand_u32_np(123, a, b)
+    np.testing.assert_array_equal(dev, host)
+    dev_i = np.asarray(rng.randint(9, jnp.asarray(a), jnp.asarray(b), jnp.full(1000, 17)))
+    host_i = hs.rng.randint_np(9, a, b, np.full(1000, 17))
+    np.testing.assert_array_equal(dev_i, host_i)
+
+
+@pytest.mark.parametrize("K", [4, 10, 32])
+def test_uniform_parity_vs_host(K):
+    row_ptr, col = hs.random_csr(200, avg_deg=12, seed=1)
+    centers = np.random.RandomState(2).randint(0, 200, 64)
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K, seed=5, hop=1
+    )
+    h_nbrs, h_mask, h_pos = hs.sample_uniform_host(row_ptr, col, centers, K, seed=5, hop=1)
+    np.testing.assert_array_equal(np.asarray(res.mask), h_mask)
+    np.testing.assert_array_equal(np.asarray(res.positions) * h_mask, h_pos * h_mask)
+    np.testing.assert_array_equal(np.asarray(res.neighbors) * h_mask, h_nbrs * h_mask)
+
+
+def test_uniform_without_replacement_and_in_range():
+    row_ptr, col = hs.random_csr(500, avg_deg=40, seed=3)
+    centers = np.arange(128)
+    K = 15
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K, seed=0
+    )
+    pos = np.asarray(res.positions)
+    mask = np.asarray(res.mask)
+    deg = np.asarray(res.degree)
+    for i in range(len(centers)):
+        p = pos[i][mask[i]]
+        assert len(np.unique(p)) == len(p), f"row {i} duplicate positions"
+        assert (p >= 0).all() and (p < deg[i]).all()
+        assert mask[i].sum() == min(deg[i], K)
+
+
+def test_uniform_distribution():
+    """Each neighbor of a degree-12 node should be picked ~uniformly."""
+    n = 4
+    row_ptr = np.array([0, 12, 12, 12, 12], np.int64)
+    col = np.arange(12, dtype=np.int32)
+    K = 6
+    counts = np.zeros(12)
+    for seed in range(300):
+        res = csr_sample_neighbors(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.zeros(8, jnp.int32), K, seed=seed
+        )
+        sel = np.asarray(res.neighbors)[0][np.asarray(res.mask)[0]]
+        counts[sel] += 1
+    freq = counts / counts.sum()
+    assert np.abs(freq - 1 / 12).max() < 0.02, freq
+
+
+def test_weighted_parity_vs_host():
+    row_ptr, col = hs.random_csr(150, avg_deg=20, seed=4, max_deg=600)
+    weights = (np.random.RandomState(5).rand(row_ptr[-1]) + 0.1).astype(np.float32)
+    centers = np.random.RandomState(6).randint(0, 150, 32)
+    K = 8
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr),
+        jnp.asarray(col),
+        jnp.asarray(centers),
+        K,
+        seed=11,
+        hop=2,
+        weights=jnp.asarray(weights),
+        max_degree=600,
+    )
+    h_nbrs, h_mask, h_pos = hs.sample_weighted_host(
+        row_ptr, col, weights, centers, K, seed=11, hop=2
+    )
+    np.testing.assert_array_equal(np.asarray(res.mask), h_mask)
+    np.testing.assert_array_equal(np.asarray(res.positions) * h_mask, h_pos * h_mask)
+
+
+def test_weighted_bias():
+    """Heavier edges must be sampled more often (A-Res property)."""
+    row_ptr = np.array([0, 10], np.int64)
+    col = np.arange(10, dtype=np.int32)
+    weights = np.array([10.0] * 2 + [0.1] * 8, np.float32)
+    hits = np.zeros(10)
+    for seed in range(200):
+        res = csr_sample_neighbors(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.zeros(8, jnp.int32), 3,
+            seed=seed, weights=jnp.asarray(weights), max_degree=16,
+        )
+        sel = np.asarray(res.neighbors)[0][np.asarray(res.mask)[0]]
+        hits[sel] += 1
+    assert hits[:2].mean() > 4 * hits[2:].mean(), hits
+
+
+def test_distributed_csr_matches_replicated(mesh8):
+    """ShardedTable CSR (the NCCL-path analog) must reproduce the replicated
+    result exactly — sampling keys on node id, not layout."""
+    row_ptr, col = hs.random_csr(256, avg_deg=10, seed=7)
+    centers = np.random.RandomState(8).randint(0, 256, 64)
+    K = 8
+    rep = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K, seed=3
+    )
+    ptr_t = ShardedTable.from_array(mesh8, row_ptr)
+    col_t = ShardedTable.from_array(mesh8, col)
+    ctr = jax.device_put(jnp.asarray(centers), NamedSharding(mesh8, P("data")))
+    dist = csr_sample_neighbors(
+        ptr_t, col_t, ctr, K, seed=3, gather_kwargs={"method": "allgather"}
+    )
+    np.testing.assert_array_equal(np.asarray(dist.mask), np.asarray(rep.mask))
+    np.testing.assert_array_equal(
+        np.asarray(dist.neighbors) * np.asarray(dist.mask),
+        np.asarray(rep.neighbors) * np.asarray(rep.mask),
+    )
+
+
+def test_sample_under_jit():
+    row_ptr, col = hs.random_csr(100, avg_deg=8, seed=9)
+
+    @jax.jit
+    def f(centers):
+        r = csr_sample_neighbors(jnp.asarray(row_ptr), jnp.asarray(col), centers, 5, seed=1)
+        return r.neighbors, r.mask
+
+    centers = jnp.asarray(np.arange(32))
+    n1, m1 = f(centers)
+    h_nbrs, h_mask, _ = hs.sample_uniform_host(row_ptr, col, np.arange(32), 5, seed=1)
+    np.testing.assert_array_equal(np.asarray(m1), h_mask)

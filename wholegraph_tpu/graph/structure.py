@@ -1,0 +1,218 @@
+"""Graph structure + multi-layer mini-batch sampling.
+
+TPU-native analog of the reference's GraphStructure
+(reference: python torch/graph_structure.py:21-196 —
+``multilayer_sample_without_replacement`` composes one-hop sampling +
+append_unique per layer).
+
+Key shape discipline (XLA static shapes): every hop's output is padded.
+Layer l has ``num_targets[l] = B * prod_{i<l}(K_i + 1)`` target slots, each
+either a valid node or padding.  ``append_unique`` keeps targets as a prefix
+of the next level's unique list, so the unique node sets NEST:
+``unique_l == unique_{l+1}[:U_l]``.  Models exploit this: activations for
+level l+1's unique set directly provide the self-features of level l's
+targets (no re-indexing).
+
+Padding targets are given distinct dummy ids ``>= node_count`` so uniquing
+keeps their slots without colliding with real nodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph_ops import append_unique
+from ..ops.sampling import SampleResult, TableLike, csr_sample_neighbors
+
+Array = jax.Array
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HopSubgraph:
+    """One sampled hop, in padded relabeled form.
+
+    nbr_idx: [B_l, K] neighbor positions within the NEXT level's unique list.
+    mask:    [B_l, K] edge validity.
+    center_mask: [B_l] target-slot validity.
+    """
+
+    nbr_idx: Array
+    mask: Array
+    center_mask: Array
+
+    def tree_flatten(self):
+        return (self.nbr_idx, self.mask, self.center_mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @property
+    def num_targets(self) -> int:
+        return self.nbr_idx.shape[0]
+
+    @property
+    def fanout(self) -> int:
+        return self.nbr_idx.shape[1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MultilayerSample:
+    """Result of multi-layer sampling.
+
+    hops[l] relabels level-l targets against level-(l+1) uniques;
+    unique_gids/unique_mask describe the DEEPEST level's unique node set —
+    gather input features for exactly these (padding slots → id 0, masked).
+    """
+
+    hops: List[HopSubgraph]
+    unique_gids: Array
+    unique_mask: Array
+    level_gids: List[Array] = dataclasses.field(default_factory=list)
+    level_masks: List[Array] = dataclasses.field(default_factory=list)
+
+    def tree_flatten(self):
+        return (
+            tuple(self.hops),
+            self.unique_gids,
+            self.unique_mask,
+            tuple(self.level_gids),
+            tuple(self.level_masks),
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        hops, gids, mask, lg, lm = ch
+        return cls(list(hops), gids, mask, list(lg), list(lm))
+
+
+@dataclasses.dataclass
+class GraphStructure:
+    """CSR graph whose arrays may be replicated jnp arrays or ShardedTables
+    (torch/graph_structure.py:21 analog; set_csr_graph + attributes)."""
+
+    row_ptr: TableLike  # [N+1]
+    col: TableLike  # [E]
+    node_count: int
+    edge_count: int
+    max_degree: int
+    edge_weight: Optional[TableLike] = None
+
+    @staticmethod
+    def from_coo(
+        src: np.ndarray,
+        dst: np.ndarray,
+        node_count: int,
+        *,
+        edge_weight: Optional[np.ndarray] = None,
+        add_reverse: bool = False,
+    ) -> "GraphStructure":
+        """Host-side CSR build from a COO edge list (sorted by src)."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if add_reverse:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if edge_weight is not None:
+                edge_weight = np.concatenate([edge_weight, edge_weight])
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        if edge_weight is not None:
+            edge_weight = np.asarray(edge_weight)[order]
+        counts = np.bincount(src, minlength=node_count)
+        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return GraphStructure(
+            row_ptr=jnp.asarray(row_ptr, jnp.int32),
+            col=jnp.asarray(dst, jnp.int32),
+            node_count=node_count,
+            edge_count=len(dst),
+            max_degree=int(counts.max()) if node_count else 0,
+            edge_weight=None if edge_weight is None else jnp.asarray(edge_weight, jnp.float32),
+        )
+
+    # -- sampling -------------------------------------------------------------
+
+    def sample_one_hop(
+        self,
+        centers: Array,
+        max_sample: int,
+        *,
+        seed: int = 0,
+        hop: int = 0,
+        weighted: bool = False,
+        gather_kwargs: Optional[dict] = None,
+    ) -> SampleResult:
+        """unweighted/weighted_sample_without_replacement_one_hop analog
+        (graph_structure.py:77-138)."""
+        return csr_sample_neighbors(
+            self.row_ptr,
+            self.col,
+            centers,
+            max_sample,
+            seed=seed,
+            hop=hop,
+            weights=self.edge_weight if weighted else None,
+            max_degree=self.max_degree,
+            gather_kwargs=gather_kwargs,
+        )
+
+    def multilayer_sample(
+        self,
+        centers: Array,
+        fanouts: Sequence[int],
+        *,
+        seed: int = 0,
+        weighted: bool = False,
+        center_mask: Optional[Array] = None,
+        gather_kwargs: Optional[dict] = None,
+    ) -> MultilayerSample:
+        """multilayer_sample_without_replacement analog
+        (graph_structure.py:140-196): per layer sample + append_unique,
+        producing nested padded subgraphs."""
+        n = self.node_count
+        gids = centers.astype(jnp.int32)
+        gmask = (
+            jnp.ones(gids.shape, bool) if center_mask is None else center_mask
+        )
+        hops: List[HopSubgraph] = []
+        level_gids = [gids]
+        level_masks = [gmask]
+        for l, K in enumerate(fanouts):
+            U = gids.shape[0]
+            res = self.sample_one_hop(
+                jnp.where(gmask, gids, 0),
+                K,
+                seed=seed,
+                hop=l,
+                weighted=weighted,
+                gather_kwargs=gather_kwargs,
+            )
+            emask = res.mask & gmask[:, None]
+            # distinct dummy ids for padding targets keep their slots unique
+            tgt = jnp.where(gmask, gids, n + jnp.arange(U, dtype=jnp.int32))
+            nbrs = jnp.where(emask, res.neighbors, 0).reshape(-1)
+            uids, _, nmap = append_unique(tgt, nbrs, emask.reshape(-1))
+            hops.append(
+                HopSubgraph(
+                    nbr_idx=jnp.where(emask, nmap.reshape(U, K), 0),
+                    mask=emask,
+                    center_mask=gmask,
+                )
+            )
+            gmask = (uids >= 0) & (uids < n)
+            gids = jnp.where(gmask, uids, 0)  # sanitize dummies/padding for fetches
+            level_gids.append(gids)
+            level_masks.append(gmask)
+        return MultilayerSample(
+            hops=hops,
+            unique_gids=gids,
+            unique_mask=gmask,
+            level_gids=level_gids,
+            level_masks=level_masks,
+        )

@@ -1,0 +1,15 @@
+from .conv import FullGraph, GATConv, GCNConv, RGCNConv, SAGEConv
+from .gnn import HomoGNN, accuracy, cross_entropy_loss, make_conv, resolve_framework
+
+__all__ = [
+    "FullGraph",
+    "GATConv",
+    "GCNConv",
+    "RGCNConv",
+    "SAGEConv",
+    "HomoGNN",
+    "accuracy",
+    "cross_entropy_loss",
+    "make_conv",
+    "resolve_framework",
+]

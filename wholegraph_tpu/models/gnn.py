@@ -1,0 +1,123 @@
+"""End-to-end GNN models.
+
+TPU-native analog of the reference's model layer (reference:
+python torch/gnn_model.py:191-261 HomoGNNModel + the pluggable conv backends
+:25-43).  The reference dispatches message passing to dgl/pyg/cugraph-ops
+("framework" option); those backends don't exist on TPU, so every framework
+string maps to the native padded/flax convs (a warning is logged for
+non-native names, keeping CLI compatibility).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.structure import MultilayerSample
+from ..utils import logger
+from .conv import Adj, FullGraph, GATConv, GCNConv, RGCNConv, SAGEConv
+
+Array = jax.Array
+
+_NATIVE_FRAMEWORKS = ("wg", "native", "tpu")
+
+
+def resolve_framework(name: str) -> str:
+    """Reference framework strings (dgl|pyg|wg|cugraph, gnn_model.py:25-43)
+    all resolve to the native TPU conv implementations."""
+    if name not in _NATIVE_FRAMEWORKS:
+        logger.warn(
+            "framework %r is not available on TPU; using native convs", name
+        )
+    return "native"
+
+
+def make_conv(model_type: str, out_dim: int, *, num_heads: int = 1, num_relations: int = 0):
+    mt = model_type.lower()
+    if mt in ("sage", "graphsage"):
+        return SAGEConv(out_dim=out_dim)
+    if mt == "gcn":
+        return GCNConv(out_dim=out_dim)
+    if mt == "gat":
+        return GATConv(out_dim=out_dim // max(num_heads, 1), num_heads=num_heads)
+    if mt == "rgcn":
+        return RGCNConv(out_dim=out_dim, num_relations=num_relations)
+    raise ValueError(f"unknown model type {model_type!r}")
+
+
+class HomoGNN(nn.Module):
+    """Multi-layer homogeneous GNN for node classification
+    (HomoGNNModel analog, gnn_model.py:191-261).
+
+    In sampled mode, call with ``x`` = features of the deepest unique node
+    set and ``sample`` = MultilayerSample; hops are consumed deepest-first.
+    In full-graph mode, call with ``x`` = all node features and ``graph`` =
+    FullGraph; the same conv stack is applied num_layers times.
+    """
+
+    model_type: str = "sage"  # sage | gcn | gat | rgcn
+    hidden_dim: int = 256
+    num_classes: int = 40
+    num_layers: int = 2
+    num_heads: int = 4
+    num_relations: int = 0
+    dropout: float = 0.5
+    framework: str = "wg"  # API parity; always resolves to native
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        sample: Optional[MultilayerSample] = None,
+        graph: Optional[FullGraph] = None,
+        edge_types: Optional[Sequence[Array]] = None,
+        train: bool = False,
+    ) -> Array:
+        resolve_framework(self.framework)
+        L = self.num_layers
+        adjs: Sequence[Adj]
+        if sample is not None:
+            assert len(sample.hops) == L, "fanouts must match num_layers"
+            adjs = list(reversed(sample.hops))  # deepest hop first
+        else:
+            assert graph is not None, "need sample= or graph="
+            adjs = [graph] * L
+
+        for i, adj in enumerate(adjs):
+            out_dim = self.num_classes if i == L - 1 else self.hidden_dim
+            conv = make_conv(
+                self.model_type,
+                out_dim,
+                num_heads=self.num_heads if i < L - 1 else 1,
+                num_relations=self.num_relations,
+            )
+            if self.model_type.lower() == "rgcn":
+                et = edge_types[L - 1 - i] if edge_types is not None else None
+                x = conv(x, adj, et)
+            else:
+                x = conv(x, adj)
+            if i < L - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+def cross_entropy_loss(logits: Array, labels: Array, mask: Optional[Array] = None):
+    """Masked softmax cross-entropy (examples/node_classfication.py loss)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if mask is None:
+        return -jnp.mean(ll)
+    m = mask.astype(logits.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1)
+
+
+def accuracy(logits: Array, labels: Array, mask: Optional[Array] = None):
+    correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(correct)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1)

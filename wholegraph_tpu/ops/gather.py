@@ -300,6 +300,13 @@ def gather(
         phys = plan.physical_index(ids)
         return local_take(data, phys)
 
+    if data.ndim == 1:  # 1-D tables (e.g. CSR row_ptr/col): lift to [n, 1]
+        out = gather(
+            data[:, None], ids, plan=plan, mesh=mesh, axis=axis,
+            method=method, capacity_factor=capacity_factor,
+        )
+        return out[:, 0]
+
     if method == "auto":
         method = "a2a"
 
@@ -355,6 +362,13 @@ def scatter(
         if accumulate:
             return data.at[phys].add(rows.astype(data.dtype), mode="drop")
         return data.at[phys].set(rows.astype(data.dtype), mode="drop")
+
+    if data.ndim == 1:
+        out = scatter(
+            data[:, None], ids, rows[:, None], plan=plan, mesh=mesh, axis=axis,
+            accumulate=accumulate, capacity_factor=capacity_factor,
+        )
+        return out[:, 0]
 
     B_global = ids.shape[0]
     check_input(B_global % world == 0, "global batch must divide mesh axis")

@@ -1,0 +1,217 @@
+"""CSR neighbor sampling (unweighted + weighted, without replacement).
+
+TPU-native replacement for the reference sampling kernels:
+
+* unweighted without replacement
+  (reference: cpp/src/wholegraph_ops/unweighted_sample_without_replacement_func.cuh
+  — take-all for deg<=K :39, blockwise radix-sort reservoir :132, sequential
+  large_sample_kernel :62) — here a single *selection-sampling* algorithm:
+  for slot j draw ``r_j ~ U[0, deg-j)`` with the counter RNG and map it to the
+  (r_j+1)-th smallest not-yet-chosen neighbor position via a monotone fixpoint
+  (O(K^2) vectorised compares, no data-dependent shapes, works for ANY degree
+  — no max-degree bound needed);
+* weighted A-Res reservoir sampling
+  (reference: weighted_sample_without_replacement_func.cuh:45-61 key =
+  log(u)/w, warp priority queue / radix top-K) — here a chunked scan over the
+  neighbor window keeping a running top-K (lax.top_k), bounded by the graph's
+  static max degree;
+* the distributed (NCCL) path — gather row_ptr pairs, sample edge offsets
+  locally, gather chosen cols (reference:
+  unweighted_sample_without_replacement_nccl_func.cuh:52-290) — falls out for
+  free: CSR arrays may be ShardedTables, in which case the row_ptr/col fetches
+  are distributed gathers.
+
+Output is the TPU-native padded form: ``neighbors [B, K]`` + boolean ``mask``
+(XLA needs static shapes; the reference's compacted CSR is recoverable via
+:func:`wholegraph_tpu.ops.graph_ops.padded_to_csr`).
+
+Sampling is deterministic in (seed, hop, center id) — independent of batch
+position and world size — and bit-exactly replayable on host
+(tests/host_sampler.py), the reference's test-parity pillar (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rng
+
+Array = jax.Array
+TableLike = Union[Array, "ShardedTable"]  # noqa: F821 — duck-typed below
+
+_HOP_STRIDE = 1 << 20  # rng key stride between hops (slot/offset fits below)
+
+
+def _fetch(src: TableLike, ids: Array, **kw) -> Array:
+    """Row fetch from a replicated array or a ShardedTable (distributed).
+    Duck-typed on ``.gather`` to avoid a circular import with memory/."""
+    if hasattr(src, "gather"):
+        return src.gather(ids, **kw)
+    return jnp.take(src, ids, axis=0, mode="clip")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SampleResult:
+    """Padded sampling output.
+
+    neighbors: [B, K] sampled neighbor node ids (garbage where ~mask)
+    mask:      [B, K] slot validity
+    positions: [B, K] sampled offsets within each center's adjacency list
+    edge_ids:  [B, K] global edge indices (row_ptr[c] + position)
+    degree:    [B]    center out-degrees
+    """
+
+    neighbors: Array
+    mask: Array
+    positions: Array
+    edge_ids: Array
+    degree: Array
+
+    def tree_flatten(self):
+        return (self.neighbors, self.mask, self.positions, self.edge_ids, self.degree), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+# ---------------------------------------------------------------------------
+# Unweighted: selection sampling via rank-adjust fixpoint
+# ---------------------------------------------------------------------------
+
+
+def _sample_positions_uniform(deg: Array, K: int, seed: int, centers: Array, hop: int):
+    """K distinct uniform positions in [0, deg) per center (padded/masked).
+
+    For slot j, draws r_j = randint(seed, center, hop*S + j, deg - j) and maps
+    it to the (r_j+1)-th smallest position not chosen by slots < j via the
+    fixpoint p <- r_j + #{chosen <= p}.
+    """
+    B = deg.shape[0]
+    sentinel = jnp.int32(1 << 30)
+    sel0 = jnp.full((B, K), sentinel, jnp.int32)
+
+    def body(j, sel):
+        nj = jnp.maximum(deg - j, 1)
+        r = rng.randint(seed, centers, hop * _HOP_STRIDE + j, nj)
+
+        def fix(_, p):
+            cnt = jnp.sum((sel <= p[:, None]).astype(jnp.int32), axis=1)
+            return r + cnt
+
+        p = lax.fori_loop(0, K, fix, r)
+        return sel.at[:, j].set(p)
+
+    sel = lax.fori_loop(0, K, body, sel0)
+
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    take_all = deg[:, None] <= K
+    pos = jnp.where(take_all, slots, sel)
+    mask = slots < jnp.minimum(deg, K)[:, None]
+    pos = jnp.where(mask, pos, 0)
+    return pos, mask
+
+
+# ---------------------------------------------------------------------------
+# Weighted: A-Res reservoir via chunked running top-K
+# ---------------------------------------------------------------------------
+
+
+def _sample_positions_weighted(
+    start: Array,
+    deg: Array,
+    K: int,
+    seed: int,
+    centers: Array,
+    hop: int,
+    weights: TableLike,
+    max_degree: int,
+    chunk: int = 512,
+):
+    """A-Res: key_e = log(u_e)/w_e, keep top-K keys (reference
+    weighted_sample_without_replacement_func.cuh:45-61)."""
+    B = deg.shape[0]
+    nchunks = max(-(-max_degree // chunk), 1)
+    neg_inf = jnp.float32(-jnp.inf)
+    best_keys = jnp.full((B, K), neg_inf, jnp.float32)
+    best_pos = jnp.zeros((B, K), jnp.int32)
+
+    def body(c, carry):
+        best_keys, best_pos = carry
+        offs = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]  # [1, chunk]
+        valid = offs < deg[:, None]
+        eidx = start[:, None] + jnp.where(valid, offs, 0)
+        w = _fetch(weights, eidx.reshape(-1)).reshape(B, chunk).astype(jnp.float32)
+        u = rng.rand_uniform(
+            seed, jnp.broadcast_to(centers[:, None], (B, chunk)), hop * _HOP_STRIDE + offs
+        )
+        # log(u)/w: u in [0,1) -> log<=0; larger key = more likely kept
+        key = jnp.where(
+            valid & (w > 0), jnp.log(jnp.maximum(u, 1e-20)) / w, neg_inf
+        )
+        merged_keys = jnp.concatenate([best_keys, key], axis=1)
+        merged_pos = jnp.concatenate([best_pos, jnp.where(valid, offs, 0)], axis=1)
+        topk, topi = lax.top_k(merged_keys, K)
+        return topk, jnp.take_along_axis(merged_pos, topi, axis=1)
+
+    best_keys, best_pos = lax.fori_loop(0, nchunks, body, (best_keys, best_pos))
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    mask = (slots < jnp.minimum(deg, K)[:, None]) & (best_keys > neg_inf)
+    return jnp.where(mask, best_pos, 0), mask
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def csr_sample_neighbors(
+    row_ptr: TableLike,
+    col: TableLike,
+    centers: Array,
+    max_sample: int,
+    *,
+    seed: int = 0,
+    hop: int = 0,
+    weights: Optional[TableLike] = None,
+    max_degree: Optional[int] = None,
+    gather_kwargs: Optional[dict] = None,
+) -> SampleResult:
+    """Sample up to ``max_sample`` neighbors per center, without replacement.
+
+    The analog of wholegraph_csr_{unweighted,weighted}_sample_without_replacement
+    (reference: cpp/include/wholegraph/wholegraph_op.h:42-84).  ``row_ptr``/
+    ``col``/``weights`` may be jnp arrays (replicated CSR) or ShardedTables
+    (distributed CSR — fetches become distributed gathers, the NCCL-path
+    analog).
+
+    Returns a padded :class:`SampleResult`.
+    """
+    kw = gather_kwargs or {}
+    K = int(max_sample)
+    centers = centers.astype(jnp.int32)
+    ptr_lo = _fetch(row_ptr, centers, **kw)
+    ptr_hi = _fetch(row_ptr, centers + 1, **kw)
+    start = ptr_lo.astype(jnp.int32)
+    deg = (ptr_hi - ptr_lo).astype(jnp.int32)
+
+    if weights is None:
+        pos, mask = _sample_positions_uniform(deg, K, seed, centers, hop)
+    else:
+        if max_degree is None:
+            raise ValueError("weighted sampling requires static max_degree")
+        pos, mask = _sample_positions_weighted(
+            start, deg, K, seed, centers, hop, weights, int(max_degree)
+        )
+
+    edge_ids = start[:, None] + pos
+    flat = jnp.where(mask, edge_ids, 0).reshape(-1)
+    nbrs = _fetch(col, flat, **kw).reshape(edge_ids.shape).astype(jnp.int32)
+    nbrs = jnp.where(mask, nbrs, -1)
+    return SampleResult(nbrs, mask, pos, edge_ids, deg)
