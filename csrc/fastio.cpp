@@ -1,0 +1,124 @@
+// Native multithreaded binary row reader for wholegraph_tpu.
+//
+// TPU-native equivalent of the reference's multi-threaded / O_DIRECT file
+// loaders (reference: cpp/src/wholememory/file_io.cpp —
+// read_file_list_to_local_memory_with_multi_threads :413,676 and the
+// _directio variants :883,1121).  Reads a global row range [lo, hi) spanning
+// an ordered list of binary files into a caller buffer, splitting the byte
+// range across POSIX threads with pread(2).
+//
+// Exposed as a tiny C ABI consumed via ctypes (wholegraph_tpu/io/native.py).
+
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct FileSpan {
+  int fd;
+  int64_t file_row_start;  // global row index of this file's first row
+  int64_t rows;            // rows in this file
+};
+
+// Read rows [lo, hi) (global numbering over the file list) into out.
+// Returns 0 on success, errno-style code on failure.
+int read_range(const std::vector<FileSpan>& files, int64_t entry_size,
+               int64_t lo, int64_t hi, unsigned char* out) {
+  int64_t out_off = 0;
+  for (const auto& f : files) {
+    int64_t fbeg = f.file_row_start;
+    int64_t fend = f.file_row_start + f.rows;
+    if (fend <= lo || fbeg >= hi) continue;
+    int64_t r0 = std::max(lo, fbeg) - fbeg;
+    int64_t r1 = std::min(hi, fend) - fbeg;
+    int64_t bytes = (r1 - r0) * entry_size;
+    int64_t foff = r0 * entry_size;
+    unsigned char* dst = out + out_off;
+    while (bytes > 0) {
+      ssize_t got = pread(f.fd, dst, static_cast<size_t>(bytes), foff);
+      if (got < 0) {
+        if (errno == EINTR) continue;
+        return errno;
+      }
+      if (got == 0) return EIO;  // unexpected EOF
+      dst += got;
+      foff += got;
+      bytes -= got;
+      out_off += got;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// paths: nfiles NUL-terminated strings; file_starts: nfiles+1 cumulative row
+// counts; reads global rows [lo, hi) into out using up to nthreads threads.
+int wgtpu_read_rows(const char** paths, int nfiles, const int64_t* file_starts,
+                    int64_t entry_size, int64_t lo, int64_t hi,
+                    unsigned char* out, int nthreads) {
+  if (lo >= hi) return 0;
+  std::vector<FileSpan> files;
+  files.reserve(nfiles);
+  for (int i = 0; i < nfiles; ++i) {
+    if (file_starts[i + 1] <= lo || file_starts[i] >= hi) continue;
+    int fd = open(paths[i], O_RDONLY);
+    if (fd < 0) {
+      for (auto& f : files) close(f.fd);
+      return errno;
+    }
+    files.push_back({fd, file_starts[i], file_starts[i + 1] - file_starts[i]});
+  }
+
+  int64_t total_rows = hi - lo;
+  if (nthreads < 1) nthreads = 1;
+  int64_t rows_per_thread = (total_rows + nthreads - 1) / nthreads;
+  std::vector<std::thread> threads;
+  std::vector<int> rcs(nthreads, 0);
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t tlo = lo + t * rows_per_thread;
+    int64_t thi = std::min(hi, tlo + rows_per_thread);
+    if (tlo >= thi) break;
+    unsigned char* tout = out + (tlo - lo) * entry_size;
+    threads.emplace_back([&files, entry_size, tlo, thi, tout, &rcs, t]() {
+      rcs[t] = read_range(files, entry_size, tlo, thi, tout);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (auto& f : files) close(f.fd);
+  for (int rc : rcs)
+    if (rc != 0) return rc;
+  return 0;
+}
+
+// Write rows to a file (store_to_file analog): plain sequential write.
+int wgtpu_write_rows(const char* path, const unsigned char* data,
+                     int64_t nbytes) {
+  int fd = open(path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return errno;
+  const unsigned char* src = data;
+  int64_t left = nbytes;
+  while (left > 0) {
+    ssize_t put = write(fd, src, static_cast<size_t>(left));
+    if (put < 0) {
+      if (errno == EINTR) continue;
+      int e = errno;
+      close(fd);
+      return e;
+    }
+    src += put;
+    left -= put;
+  }
+  close(fd);
+  return 0;
+}
+
+}  // extern "C"

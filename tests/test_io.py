@@ -1,0 +1,129 @@
+"""File I/O + checkpoint tests (reference: python tests
+test_wholememory_io.py — filelist load over partition plans incl.
+round-robin; embedding save/load with optimizer states)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import wholegraph_tpu.embedding as emb_mod
+from wholegraph_tpu.embedding import Embedding
+from wholegraph_tpu.io import (
+    load_embedding,
+    load_filelist,
+    load_table_checkpoint,
+    save_embedding,
+    save_table_checkpoint,
+    store_table,
+)
+from wholegraph_tpu.io.file_io import load_table_from_parts
+from wholegraph_tpu.memory import PartitionPlan, ShardedTable
+
+from conftest import deterministic_rows
+
+
+def write_filelist(tmp_path, arr, nfiles=3):
+    """Split rows of arr across nfiles binary files (uneven split)."""
+    paths = []
+    n = arr.shape[0]
+    cuts = [0, n // 4, n // 2 + 3, n]
+    assert nfiles == 3
+    for i in range(nfiles):
+        p = str(tmp_path / f"feat_{i}.bin")
+        arr[cuts[i] : cuts[i + 1]].tofile(p)
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_load_filelist_block(mesh8, tmp_path, use_native, monkeypatch):
+    n, dim = 200, 16
+    arr = deterministic_rows(n, dim)
+    paths = write_filelist(tmp_path, arr)
+    if not use_native:
+        import wholegraph_tpu.io.file_io as fio
+        monkeypatch.setattr(fio, "_read_rows", fio._read_rows)  # keep pure path
+        import sys
+        monkeypatch.setitem(sys.modules, "wholegraph_tpu.io.native", None)
+    tab = load_filelist(paths, mesh8, dim, np.float32)
+    np.testing.assert_allclose(tab.to_array(), arr)
+
+
+def test_load_filelist_round_robin(mesh8, tmp_path):
+    n, dim = 100, 8
+    arr = deterministic_rows(n, dim)
+    paths = write_filelist(tmp_path, arr)
+    tab = load_filelist(paths, mesh8, dim, np.float32, round_robin_size=4)
+    assert tab.plan.mode == "round_robin"
+    np.testing.assert_allclose(tab.to_array(), arr)
+    # gather through the rr plan
+    ids = np.random.RandomState(0).randint(0, n, 64)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out = tab.gather(jax.device_put(jnp.asarray(ids), NamedSharding(mesh8, P("data"))))
+    np.testing.assert_allclose(np.asarray(out), arr[ids])
+
+
+def test_load_filelist_validates(mesh8, tmp_path):
+    p = str(tmp_path / "bad.bin")
+    np.zeros(13, np.uint8).tofile(p)  # not a multiple of entry size
+    with pytest.raises(Exception):
+        load_filelist([p], mesh8, 4, np.float32)
+
+
+def test_store_load_roundtrip(mesh8, tmp_path):
+    n, dim = 123, 8
+    arr = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, arr)
+    store_table(tab, str(tmp_path / "ckpt"))
+    tab2 = load_table_from_parts(str(tmp_path / "ckpt"), 8, mesh8, dim, np.float32)
+    np.testing.assert_allclose(tab2.to_array(), arr)
+
+
+def test_repartition_reload(mesh8, mesh4, tmp_path):
+    """Save with 8 parts, reload onto a 4-way mesh (part_count tolerance)."""
+    n, dim = 96, 4
+    arr = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, arr)
+    save_table_checkpoint(tab, str(tmp_path), "t8")
+    tab4 = load_table_checkpoint(mesh4, str(tmp_path), "t8")
+    assert tab4.plan.world == 4
+    np.testing.assert_allclose(tab4.to_array(), arr)
+
+
+def test_round_robin_checkpoint_reload(mesh8, tmp_path):
+    n, dim = 90, 4
+    plan = PartitionPlan.round_robin(n, 8, 8)
+    arr = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, arr, plan=plan)
+    save_table_checkpoint(tab, str(tmp_path), "rr")
+    tab2 = load_table_checkpoint(mesh8, str(tmp_path), "rr")
+    np.testing.assert_allclose(tab2.to_array(), arr)
+
+
+def test_embedding_save_load(mesh8, tmp_path):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, dim, B = 80, 8, 32
+    opt = emb_mod.LazyAdam()
+    emb = Embedding.create(mesh8, n, dim, optimizer=opt)
+    state = emb.from_array(deterministic_rows(n, dim))
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, n, B).astype(np.int64)
+    grads = rng.randn(B, dim).astype(np.float32)
+    state = emb.apply_gradients(
+        state,
+        jax.device_put(jnp.asarray(ids), NamedSharding(mesh8, P("data"))),
+        jax.device_put(jnp.asarray(grads), NamedSharding(mesh8, P("data", None))),
+        0.1,
+    )
+    save_embedding(emb, state, str(tmp_path), "emb")
+    state2 = load_embedding(emb, str(tmp_path), "emb")
+    np.testing.assert_allclose(emb.to_array(state2), emb.to_array(state))
+    for k in opt.slot_names:
+        np.testing.assert_allclose(
+            emb.slot_to_array(state2, k), emb.slot_to_array(state, k)
+        )
+    assert int(state2.step) == int(state.step) == 1

@@ -1,0 +1,23 @@
+from .file_io import (
+    filelist_entry_counts,
+    load_filelist,
+    load_table_from_parts,
+    store_table,
+)
+from .checkpoint import (
+    load_embedding,
+    load_table_checkpoint,
+    save_embedding,
+    save_table_checkpoint,
+)
+
+__all__ = [
+    "filelist_entry_counts",
+    "load_filelist",
+    "load_table_from_parts",
+    "store_table",
+    "load_embedding",
+    "load_table_checkpoint",
+    "save_embedding",
+    "save_table_checkpoint",
+]

@@ -1,0 +1,65 @@
+"""ctypes binding for the native fast file reader (csrc/fastio.cpp).
+
+Built by ``make -C csrc`` into wholegraph_tpu/lib/libwgtpu_io.so; the Python
+loader (file_io.py) falls back to pure-numpy reads when the library is
+absent.  This mirrors the reference's split between the plain loader and the
+multi-threaded native loaders (file_io.cpp:413-1121).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Sequence
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "lib", "libwgtpu_io.so")
+
+if not os.path.exists(_LIB_PATH):  # pragma: no cover
+    raise ImportError(f"native io library not built: {_LIB_PATH}")
+
+_lib = ctypes.CDLL(_LIB_PATH)
+_lib.wgtpu_read_rows.restype = ctypes.c_int
+_lib.wgtpu_read_rows.argtypes = [
+    ctypes.POINTER(ctypes.c_char_p),
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64,
+    ctypes.c_int64,
+    ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.c_int,
+]
+
+DEFAULT_THREADS = min(os.cpu_count() or 4, 16)
+
+
+def read_rows_native(
+    filelist: Sequence[str],
+    file_starts: np.ndarray,
+    entry_size: int,
+    lo: int,
+    hi: int,
+    out: np.ndarray,
+    nthreads: int = DEFAULT_THREADS,
+) -> None:
+    """Read global rows [lo, hi) of the filelist into out (uint8 flat)."""
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    assert out.size >= (hi - lo) * entry_size
+    paths = (ctypes.c_char_p * len(filelist))(
+        *[p.encode() for p in filelist]
+    )
+    starts = np.ascontiguousarray(file_starts, dtype=np.int64)
+    rc = _lib.wgtpu_read_rows(
+        paths,
+        len(filelist),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        entry_size,
+        lo,
+        hi,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        nthreads,
+    )
+    if rc != 0:
+        raise OSError(rc, f"native read failed: {os.strerror(rc)}")
