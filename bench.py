@@ -37,26 +37,35 @@ def detect_hbm_gbps() -> float:
     return HBM_GBPS["cpu"]
 
 
-def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 20, iters=10, warmup=3):
+def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
+    """Timing note: through remote-execution tunnels block_until_ready() can
+    return before device completion, so we time a dependent chain with a
+    dynamic trip count between two scalar host fetches and difference out the
+    fixed round-trip cost."""
     import wholegraph_tpu as wg
 
     mesh = wg.parallel.create_global_mesh()
     table = wg.ShardedTable.create(mesh, n_rows, dim)  # zeros, on-device
 
     @jax.jit
-    def gather_iter(data, seed):
-        ids = jax.random.randint(jax.random.PRNGKey(seed), (batch,), 0, n_rows)
-        return wg.ops.gather(data, ids, plan=table.plan, mesh=mesh, axis=table.axis)
+    def chain(data, n):
+        def body(i, acc):
+            ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
+            rows = wg.ops.gather(
+                data, ids, plan=table.plan, mesh=mesh, axis=table.axis
+            )
+            return acc + rows[0, 0]
 
-    out = gather_iter(table.data, 0)
-    out.block_until_ready()  # compile + warm
-    for i in range(warmup):
-        gather_iter(table.data, i).block_until_ready()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(chain(table.data, 1))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = gather_iter(table.data, 100 + i)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    float(chain(table.data, 1))
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(table.data, 1 + iters))
+    t_full = time.perf_counter() - t0
+    dt = max((t_full - t_base) / iters, 1e-9)
     gathered_bytes = batch * dim * 4
     return gathered_bytes / dt / 1e9, dt
 
@@ -65,8 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=1 << 20)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1 << 19)
+    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     backend = jax.default_backend()

@@ -62,14 +62,14 @@ def test_uniform_distribution():
     col = np.arange(12, dtype=np.int32)
     K = 6
     counts = np.zeros(12)
-    for seed in range(300):
+    for seed in range(150):
         res = csr_sample_neighbors(
             jnp.asarray(row_ptr), jnp.asarray(col), jnp.zeros(8, jnp.int32), K, seed=seed
         )
         sel = np.asarray(res.neighbors)[0][np.asarray(res.mask)[0]]
         counts[sel] += 1
     freq = counts / counts.sum()
-    assert np.abs(freq - 1 / 12).max() < 0.02, freq
+    assert np.abs(freq - 1 / 12).max() < 0.03, freq
 
 
 def test_weighted_parity_vs_host():
@@ -100,7 +100,7 @@ def test_weighted_bias():
     col = np.arange(10, dtype=np.int32)
     weights = np.array([10.0] * 2 + [0.1] * 8, np.float32)
     hits = np.zeros(10)
-    for seed in range(200):
+    for seed in range(100):
         res = csr_sample_neighbors(
             jnp.asarray(row_ptr), jnp.asarray(col), jnp.zeros(8, jnp.int32), 3,
             seed=seed, weights=jnp.asarray(weights), max_degree=16,

@@ -10,6 +10,18 @@ binary I/O + sharded checkpointing.
 
 from .version import __version__
 from .memory import PartitionPlan, ShardedTable
-from . import parallel, ops, utils
+from . import parallel, ops, utils, embedding, graph, io, models, config
 
-__all__ = ["__version__", "PartitionPlan", "ShardedTable", "parallel", "ops", "utils"]
+__all__ = [
+    "__version__",
+    "PartitionPlan",
+    "ShardedTable",
+    "parallel",
+    "ops",
+    "utils",
+    "embedding",
+    "graph",
+    "io",
+    "models",
+    "config",
+]

@@ -1,4 +1,12 @@
-from .gather import gather, scatter, local_take, local_write, local_add
+from .gather import (
+    gather,
+    gather_hierarchical,
+    local_add,
+    local_take,
+    local_write,
+    scatter,
+)
+from . import spmm
 from .graph_ops import (
     add_self_loop_padded,
     append_unique,
@@ -10,6 +18,8 @@ from . import rng
 
 __all__ = [
     "gather",
+    "gather_hierarchical",
+    "spmm",
     "scatter",
     "local_take",
     "local_write",

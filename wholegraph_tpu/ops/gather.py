@@ -54,13 +54,33 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_PALLAS_MIN_ROWS = 4096  # below this, jnp.take's lower fixed overhead wins
+
+
 def local_take(shard: Array, slots: Array) -> Array:
-    """Gather rows of a local shard: out[i] = shard[slots[i]].
+    """Gather rows of a local shard: out[i] = shard[slots[i]] (clip semantics).
 
     The local analog of gather_func_kernel (gather_scatter_func.cuh:254).
-    Uses XLA's gather; on TPU a Pallas double-buffered DMA kernel can be
-    swapped in (ops/gather_pallas.py) for large rows.
+    On TPU, large batches with 128-aligned rows dispatch to the Pallas
+    DMA-ring kernel (ops/gather_pallas.py — ~1.4x XLA's serialized gather on
+    v5e); everything else uses XLA's take.
     """
+    if (
+        jax.default_backend() == "tpu"
+        and shard.ndim == 2
+        and shard.shape[1] % 128 == 0
+        and slots.ndim == 1
+        and slots.shape[0] >= _PALLAS_MIN_ROWS
+    ):
+        from .gather_pallas import gather_rows_pallas
+
+        B = slots.shape[0]
+        slots = jnp.clip(slots.astype(jnp.int32), 0, shard.shape[0] - 1)
+        pad = -B % 1024
+        if pad:
+            slots = jnp.concatenate([slots, jnp.zeros((pad,), slots.dtype)])
+        out = gather_rows_pallas(shard, slots)
+        return out[:B] if pad else out
     return jnp.take(shard, slots, axis=0, mode="clip")
 
 
@@ -197,6 +217,134 @@ def _gather_shard_allgather(shard: Array, ids: Array, *, plan: PartitionPlan, ax
     rows = jnp.where(mine[:, None], rows, jnp.zeros_like(rows))
     out = lax.psum_scatter(rows, axis_name=axis, scatter_dimension=0, tiled=True)
     return out.reshape(B, *shard.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (node x device) two-stage gather
+# ---------------------------------------------------------------------------
+
+
+def _exchange_gather(shard, ids, owner, world, axis, cap, plan):
+    """One bucket→a2a→take→a2a-back→unpermute round over ``axis``.
+
+    ids may contain the OOB sentinel (plan.n); such slots must already carry
+    an evenly-spread fake owner so no bucket overflows.  Returns [B, D] rows
+    aligned with ids (garbage rows where ids were OOB)."""
+    idt = ids.dtype
+    oob = jnp.asarray(plan.n, idt)
+    bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+    req = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True).reshape(
+        world * cap
+    )
+    valid = req < oob
+    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
+    rows = local_take(shard, slots)
+    rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+    back = lax.all_to_all(
+        rows.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(world * cap, -1)
+    out = jnp.zeros((ids.shape[0], back.shape[1]), back.dtype)
+    pos = src_pos.reshape(world * cap)
+    pos = jnp.where(pos >= 0, pos, ids.shape[0])
+    return out.at[pos].set(back, mode="drop")
+
+
+def _gather_shard_hierarchy(
+    shard: Array,
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    node_axis: str,
+    device_axis: str,
+    n_nodes: int,
+    per_node: int,
+    cap1: int,
+    cap2: int,
+):
+    """Two-stage hierarchical gather (wholememory_gather_hierarchy analog,
+    gather_op_impl_hierarchy.cu:34-154): route requests to the owning NODE
+    along the cross-node axis (same device column, i.e. DCN), then run the
+    flat exchange within the node along the device axis (ICI)."""
+    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    ids = ids.astype(idt)
+    B = ids.shape[0]
+    oob = jnp.asarray(plan.n, idt)
+    owner = plan.owner(ids)
+    onode = owner // per_node
+
+    # --- stage 1: bucket by owning node, exchange along the node axis ---
+    bucket1, pos1 = bucket_by_owner(ids, onode, n_nodes, cap1, oob)
+    req1 = lax.all_to_all(
+        bucket1, node_axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(n_nodes * cap1)
+
+    # --- stage 2: flat exchange within the node (device axis) ---
+    valid1 = req1 < oob
+    odev = jnp.where(
+        valid1,
+        plan.owner(jnp.where(valid1, req1, 0)) % per_node,
+        jnp.arange(req1.shape[0], dtype=jnp.int32) % per_node,  # spread padding
+    )
+    rows1 = _exchange_gather(shard, req1, odev, per_node, device_axis, cap2, plan)
+
+    # --- reverse stage 1: send rows back along the node axis ---
+    back = lax.all_to_all(
+        rows1.reshape(n_nodes, cap1, -1), node_axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(n_nodes * cap1, -1)
+    out = jnp.zeros((B, back.shape[1]), back.dtype)
+    pos = pos1.reshape(n_nodes * cap1)
+    pos = jnp.where(pos >= 0, pos, B)
+    return out.at[pos].set(back, mode="drop")
+
+
+def gather_hierarchical(
+    data: Array,
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    mesh: Mesh,
+    node_axis: str = "node",
+    device_axis: str = "device",
+    capacity_factor: float = 2.0,
+) -> Array:
+    """Gather over a 2-D (node, device) mesh with two-stage routing
+    (MT_HIERARCHY analog).  ``data`` is sharded ``P((node, device), None)``;
+    shard index = node*per_node + device, matching the plan's owner order."""
+    n_nodes = mesh.shape[node_axis]
+    per_node = mesh.shape[device_axis]
+    world = n_nodes * per_node
+    check_input(plan.world == world, "plan world != mesh size")
+    B_global = ids.shape[0]
+    check_input(B_global % world == 0, "global batch must divide mesh size")
+    B_local = B_global // world
+    cap1 = _bucket_cap(B_local, n_nodes, capacity_factor)
+    cap2 = _bucket_cap(n_nodes * cap1, per_node, capacity_factor)
+
+    if data.ndim == 1:
+        out = gather_hierarchical(
+            data[:, None], ids, plan=plan, mesh=mesh, node_axis=node_axis,
+            device_axis=device_axis, capacity_factor=capacity_factor,
+        )
+        return out[:, 0]
+
+    body = functools.partial(
+        _gather_shard_hierarchy,
+        plan=plan,
+        node_axis=node_axis,
+        device_axis=device_axis,
+        n_nodes=n_nodes,
+        per_node=per_node,
+        cap1=cap1,
+        cap2=cap2,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P((node_axis, device_axis), None), P((node_axis, device_axis))),
+        out_specs=P((node_axis, device_axis), None),
+        check_vma=False,
+    )
+    return fn(data, ids)
 
 
 # ---------------------------------------------------------------------------

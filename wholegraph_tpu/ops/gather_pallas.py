@@ -10,11 +10,12 @@ XLA's stock gather lowers to a serial dynamic-slice loop (~80 GB/s on v5e for
 1KB rows); keeping N_INFLIGHT row DMAs outstanding pushes toward the HBM
 speed-of-light.
 
-Mosaic constraint: 2-D HBM memrefs are (8,128)-tiled, so a single row cannot
-be DMA-sliced.  We therefore run the kernel over the FLAT [N*D] view — 1-D
-memrefs are 128-lane tiled, and a row slice [idx*D : idx*D+D] is aligned
-whenever D is a multiple of 128 (pad rows to 128 otherwise, as the reference
-pads embedding rows to 16B alignment, embedding.cpp:43-50).
+Mosaic constraint: 2-D HBM memrefs are (8,128)-tiled, so a single row of
+[N, D] cannot be DMA-sliced.  The kernel instead views the table as
+[N, D//128, 128]: slicing along the MAJOR axis copies whole (sublane, lane)
+tiles and is legal for any D that is a multiple of 128 (pad rows to 128
+otherwise, as the reference pads embedding rows to 16B alignment,
+embedding.cpp:43-50).
 """
 
 from __future__ import annotations
@@ -30,17 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _gather_kernel(
-    ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflight: int, dim: int
-):
+def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflight: int):
     nb = pl.program_id(0)
     base = nb * id_block
 
     def dma(j):
         idx = ids_ref[j]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(idx * dim, dim)],
-            out_ref.at[pl.ds((base + j) * dim, dim)],
+            table_ref.at[idx],
+            out_ref.at[base + j],
             sems.at[j % n_inflight],
         )
 
@@ -63,7 +62,7 @@ def _gather_kernel(
 
 @functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
 def gather_rows_pallas(
-    table: Array, ids: Array, *, id_block: int = 256, n_inflight: int = 16
+    table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256
 ) -> Array:
     """out[i] = table[ids[i]] via pipelined row DMAs.
 
@@ -72,23 +71,20 @@ def gather_rows_pallas(
     """
     B = ids.shape[0]
     N, D = table.shape
-    lane_elems = 128 * 4 // jnp.dtype(table.dtype).itemsize
-    assert D % lane_elems == 0, f"dim {D} must be a multiple of {lane_elems}"
+    assert D % 128 == 0, f"dim {D} must be a multiple of 128"
     assert B % id_block == 0, (B, id_block)
     ids = ids.astype(jnp.int32)
     grid = (B // id_block,)
-    out_flat = pl.pallas_call(
-        functools.partial(
-            _gather_kernel, id_block=id_block, n_inflight=n_inflight, dim=D
-        ),
+    out3 = pl.pallas_call(
+        functools.partial(_gather_kernel, id_block=id_block, n_inflight=n_inflight),
         grid=grid,
         in_specs=[
             pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B * D,), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D // 128, 128), table.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, table.reshape(-1))
-    return out_flat.reshape(B, D)
+    )(ids, table.reshape(N, D // 128, 128))
+    return out3.reshape(B, D)

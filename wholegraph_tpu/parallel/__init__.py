@@ -1,3 +1,4 @@
+from . import collectives, launch
 from .mesh import (
     DATA_AXIS,
     DEVICE_AXIS,
