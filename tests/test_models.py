@@ -163,3 +163,53 @@ def test_homo_gnn_sampled_training_descends(model_type):
     # smoke test: loss must clearly descend and stay finite
     assert losses[-1] < losses[0] * 0.9, losses
     assert np.isfinite(losses).all()
+
+
+def test_rgcn_sampled_end_to_end():
+    """RGCN over a sampled multilayer batch with edge types carried through
+    the hops (GraphStructure.edge_type -> HopSubgraph.edge_type)."""
+    from wholegraph_tpu.graph.structure import GraphStructure as GS
+
+    n, D, C, R, B = 150, 8, 4, 3, 8
+    rs = np.random.RandomState(20)
+    src = rs.randint(0, n, n * 5)
+    dst = rs.randint(0, n, n * 5)
+    et = rs.randint(0, R, n * 5)
+    g = GS.from_coo(src, dst, n, edge_type=et, num_relations=R)
+    assert g.num_relations == R
+    feats = rs.randn(n, D).astype(np.float32)
+    labels = rs.randint(0, C, n)
+
+    model = HomoGNN(
+        model_type="rgcn", hidden_dim=16, num_classes=C, num_layers=2,
+        num_relations=R,
+    )
+    centers = np.arange(B)
+    ml = g.multilayer_sample(jnp.asarray(centers), (4, 3), seed=0)
+    assert ml.hops[0].edge_type is not None
+    x = jnp.asarray(feats)[ml.unique_gids] * ml.unique_mask[:, None]
+    params = model.init(jax.random.PRNGKey(0), x, sample=ml)
+    logits = model.apply(params, x, sample=ml)
+    assert logits.shape == (B, C)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # edge types must match the underlying graph for each sampled edge
+    et_dev = np.asarray(ml.hops[0].edge_type)
+    mask = np.asarray(ml.hops[0].mask)
+    lg1 = np.asarray(ml.level_gids[1])
+    row_ptr = np.asarray(g.row_ptr)
+    col = np.asarray(g.col)
+    etype_arr = np.asarray(g.edge_type)
+    eids = np.asarray(ml.hops[0].edge_ids) if hasattr(ml.hops[0], "edge_ids") else None
+    nbr_idx = np.asarray(ml.hops[0].nbr_idx)
+    for i in range(B):
+        for k in range(4):
+            if mask[i, k]:
+                nbr_gid = lg1[nbr_idx[i, k]]
+                c = centers[i]
+                # the sampled edge (c -> nbr_gid) with this type must exist
+                seg = slice(row_ptr[c], row_ptr[c + 1])
+                assert any(
+                    (col[seg][j] == nbr_gid) and (etype_arr[seg][j] == et_dev[i, k])
+                    for j in range(row_ptr[c + 1] - row_ptr[c])
+                )

@@ -1,0 +1,57 @@
+"""Pallas kernel tests — only run on a real TPU backend (the CPU suite forces
+jax_platforms=cpu, so these skip there; run manually with
+``PYTHONPATH=. python -m pytest tests/test_pallas_tpu.py`` on a TPU host)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU backend"
+)
+
+
+def test_gather_rows_pallas_correct():
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas
+
+    N, D, B = 100_000, 256, 4096
+    table = jax.jit(
+        lambda: jnp.arange(N, dtype=jnp.float32)[:, None] * jnp.ones((1, D))
+    )()
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, N, B).astype(np.int32))
+    out = gather_rows_pallas(table, ids)
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 0]).astype(np.int64), np.asarray(ids)
+    )
+
+
+def test_scatter_rows_pallas_correct():
+    from wholegraph_tpu.ops.gather_pallas import scatter_rows_pallas
+
+    N, D, B = 50_000, 128, 2048
+    table = jax.jit(lambda: jnp.zeros((N, D), jnp.float32))()
+    ids_np = np.random.RandomState(1).choice(N, B, replace=False).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+    rows = jnp.asarray(
+        np.arange(B, dtype=np.float32)[:, None] * np.ones((1, D), np.float32)
+    )
+    out = scatter_rows_pallas(table, ids, rows)
+    got = np.asarray(out)
+    np.testing.assert_array_equal(got[ids_np, 0], np.arange(B, dtype=np.float32))
+    untouched = np.setdiff1d(np.arange(N), ids_np)[:1000]
+    assert (got[untouched] == 0).all()
+
+
+def test_local_take_dispatches_pallas():
+    from wholegraph_tpu.ops.gather import local_take
+
+    N, D, B = 10_000, 256, 8192
+    table = jax.jit(lambda: jnp.ones((N, D), jnp.float32))()
+    slots = jnp.asarray(np.random.RandomState(2).randint(0, N, B).astype(np.int32))
+    out = local_take(table, slots)
+    assert out.shape == (B, D)
+    assert float(out[0, 0]) == 1.0
+    # OOB slots clamp (clip semantics)
+    out2 = local_take(table, jnp.full((B,), N + 100, jnp.int32))
+    assert float(out2[0, 0]) == 1.0

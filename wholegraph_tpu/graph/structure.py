@@ -45,9 +45,10 @@ class HopSubgraph:
     nbr_idx: Array
     mask: Array
     center_mask: Array
+    edge_type: Optional[Array] = None  # [B_l, K] relation ids (RGCN)
 
     def tree_flatten(self):
-        return (self.nbr_idx, self.mask, self.center_mask), None
+        return (self.nbr_idx, self.mask, self.center_mask, self.edge_type), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -104,6 +105,8 @@ class GraphStructure:
     edge_count: int
     max_degree: int
     edge_weight: Optional[TableLike] = None
+    edge_type: Optional[TableLike] = None  # [E] relation ids (RGCN)
+    num_relations: int = 0
 
     @staticmethod
     def from_coo(
@@ -112,6 +115,8 @@ class GraphStructure:
         node_count: int,
         *,
         edge_weight: Optional[np.ndarray] = None,
+        edge_type: Optional[np.ndarray] = None,
+        num_relations: int = 0,
         add_reverse: bool = False,
     ) -> "GraphStructure":
         """Host-side CSR build from a COO edge list (sorted by src)."""
@@ -121,10 +126,16 @@ class GraphStructure:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             if edge_weight is not None:
                 edge_weight = np.concatenate([edge_weight, edge_weight])
+            if edge_type is not None:
+                edge_type = np.concatenate([edge_type, edge_type])
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
         if edge_weight is not None:
             edge_weight = np.asarray(edge_weight)[order]
+        if edge_type is not None:
+            edge_type = np.asarray(edge_type)[order]
+            if not num_relations:
+                num_relations = int(edge_type.max()) + 1
         counts = np.bincount(src, minlength=node_count)
         row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         return GraphStructure(
@@ -134,6 +145,8 @@ class GraphStructure:
             edge_count=len(dst),
             max_degree=int(counts.max()) if node_count else 0,
             edge_weight=None if edge_weight is None else jnp.asarray(edge_weight, jnp.float32),
+            edge_type=None if edge_type is None else jnp.asarray(edge_type, jnp.int32),
+            num_relations=num_relations,
         )
 
     # -- sampling -------------------------------------------------------------
@@ -198,11 +211,23 @@ class GraphStructure:
             tgt = jnp.where(gmask, gids, n + jnp.arange(U, dtype=jnp.int32))
             nbrs = jnp.where(emask, res.neighbors, 0).reshape(-1)
             uids, _, nmap = append_unique(tgt, nbrs, emask.reshape(-1))
+            etypes = None
+            if self.edge_type is not None:
+                from ..ops.sampling import _fetch
+
+                flat_eids = jnp.where(emask, res.edge_ids, 0).reshape(-1)
+                etypes = (
+                    _fetch(self.edge_type, flat_eids, **(gather_kwargs or {}))
+                    .reshape(U, K)
+                    .astype(jnp.int32)
+                )
+                etypes = jnp.where(emask, etypes, 0)
             hops.append(
                 HopSubgraph(
                     nbr_idx=jnp.where(emask, nmap.reshape(U, K), 0),
                     mask=emask,
                     center_mask=gmask,
+                    edge_type=etypes,
                 )
             )
             gmask = (uids >= 0) & (uids < n)

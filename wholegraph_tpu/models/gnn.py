@@ -96,6 +96,8 @@ class HomoGNN(nn.Module):
             )
             if self.model_type.lower() == "rgcn":
                 et = edge_types[L - 1 - i] if edge_types is not None else None
+                if et is None and hasattr(adj, "edge_type"):
+                    et = adj.edge_type  # sampled hops carry edge types
                 x = conv(x, adj, et)
             else:
                 x = conv(x, adj)

@@ -60,6 +60,69 @@ def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflig
     lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
 
 
+def _scatter_kernel(
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block: int, n_inflight: int
+):
+    # out_ref aliases the donated table buffer (input_output_aliases);
+    # table_in_ref is the same memory and is not read.
+    del table_in_ref
+    nb = pl.program_id(0)
+    base = nb * id_block
+
+    def dma(j):
+        idx = ids_ref[j]
+        return pltpu.make_async_copy(
+            rows_ref.at[base + j],
+            out_ref.at[idx],
+            sems.at[j % n_inflight],
+        )
+
+    def issue(j, _):
+        @pl.when(j >= n_inflight)
+        def _wait():
+            dma(j - n_inflight).wait()
+
+        dma(j).start()
+        return 0
+
+    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+
+    def drain(k, _):
+        dma(id_block - n_inflight + k).wait()
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"), donate_argnums=(0,))
+def scatter_rows_pallas(
+    table: Array, ids: Array, rows: Array, *, id_block: int = 1024, n_inflight: int = 256
+) -> Array:
+    """table[ids[i]] = rows[i] via pipelined row DMAs (duplicate ids: winner
+    unspecified, same caveat as the reference scatter).  The table buffer is
+    donated and updated in place."""
+    B = ids.shape[0]
+    N, D = table.shape
+    assert D % 128 == 0 and B % id_block == 0
+    assert rows.shape == (B, D)
+    ids = ids.astype(jnp.int32)
+    out3 = pl.pallas_call(
+        functools.partial(_scatter_kernel, id_block=id_block, n_inflight=n_inflight),
+        grid=(B // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((N, D // 128, 128), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0},  # donated table buffer IS the output
+    )(ids, rows.reshape(B, D // 128, 128), table.reshape(N, D // 128, 128))
+    return out3.reshape(N, D)
+
+
 @functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
 def gather_rows_pallas(
     table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256
