@@ -144,14 +144,21 @@ def gather_with_cache(
     cold_cap += -cold_cap % world  # divisible for the inner exchange
     cap = _bucket_cap(cold_cap, world, capacity_factor)
 
+    fn = _build_cached_gather_fn(plan, mesh, axis, cap, cold_cap)
+    return fn(table.data, cache.hot_ids, cache.values, ids)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cached_gather_fn(plan, mesh, axis, cap, cold_cap):
     body = functools.partial(
         _gather_cached_shard, plan=plan, axis=axis, cap=cap, cold_cap=cold_cap
     )
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), P(None, None), P(axis)),
-        out_specs=P(axis, None),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(None, None), P(axis)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
     )
-    return fn(table.data, cache.hot_ids, cache.values, ids)

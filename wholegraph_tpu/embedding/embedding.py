@@ -129,6 +129,41 @@ def _apply_grad_shard(
     return shard, new_slot_shards
 
 
+@functools.lru_cache(maxsize=None)
+def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
+    """Jitted shard_map gradient-apply, cached per static config (eager
+    callers pay compile once instead of per-op mesh dispatch)."""
+    body = functools.partial(
+        _apply_grad_shard,
+        plan=emb.plan,
+        axis=emb.axis,
+        cap=cap,
+        opt=emb.optimizer,
+        slot_names=slot_names,
+    )
+    if emb.plan.world == 1:
+        return jax.jit(body)
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=emb.mesh,
+            in_specs=(
+                P(emb.axis, None),
+                tuple(P(emb.axis, None) for _ in slot_names),
+                P(emb.axis),
+                P(emb.axis, None),
+                P(),
+                P(),
+            ),
+            out_specs=(
+                P(emb.axis, None),
+                tuple(P(emb.axis, None) for _ in slot_names),
+            ),
+            check_vma=False,
+        )
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Embedding:
     """Static embedding config (wholememory_embedding_t analog,
@@ -238,47 +273,13 @@ class Embedding:
         slot_vals = tuple(state.slots[n] for n in slot_names)
 
         if world == 1:
-            shard, new_slots = _apply_grad_shard(
-                state.table,
-                slot_vals,
-                ids,
-                grads,
-                step,
-                lr,
-                plan=self.plan,
-                axis=self.axis,
-                cap=0,
-                opt=self.optimizer,
-                slot_names=slot_names,
-            )
-            return EmbeddingState(shard, dict(zip(slot_names, new_slots)), step)
+            cap = 0
+        else:
+            B_global = ids.shape[0]
+            check_input(B_global % world == 0, "global batch must divide mesh axis")
+            cap = _bucket_cap(B_global // world, world, capacity_factor)
 
-        B_global = ids.shape[0]
-        check_input(B_global % world == 0, "global batch must divide mesh axis")
-        cap = _bucket_cap(B_global // world, world, capacity_factor)
-
-        body = functools.partial(
-            _apply_grad_shard,
-            plan=self.plan,
-            axis=self.axis,
-            cap=cap,
-            opt=self.optimizer,
-            slot_names=slot_names,
-        )
-        fn = jax.shard_map(
-            body,
-            mesh=self.mesh,
-            in_specs=(
-                P(self.axis, None),
-                tuple(P(self.axis, None) for _ in slot_vals),
-                P(self.axis),
-                P(self.axis, None),
-                P(),
-                P(),
-            ),
-            out_specs=(P(self.axis, None), tuple(P(self.axis, None) for _ in slot_vals)),
-            check_vma=False,
-        )
+        fn = _build_apply_fn(self, cap, slot_names)
         table, new_slots = fn(state.table, slot_vals, ids, grads, step, lr)
         return EmbeddingState(table, dict(zip(slot_names, new_slots)), step)
 

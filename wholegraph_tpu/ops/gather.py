@@ -327,23 +327,7 @@ def gather_hierarchical(
         )
         return out[:, 0]
 
-    body = functools.partial(
-        _gather_shard_hierarchy,
-        plan=plan,
-        node_axis=node_axis,
-        device_axis=device_axis,
-        n_nodes=n_nodes,
-        per_node=per_node,
-        cap1=cap1,
-        cap2=cap2,
-    )
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P((node_axis, device_axis), None), P((node_axis, device_axis))),
-        out_specs=P((node_axis, device_axis), None),
-        check_vma=False,
-    )
+    fn = _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2)
     return fn(data, ids)
 
 
@@ -420,6 +404,72 @@ def _bucket_cap(B_local: int, world: int, factor: float) -> int:
     return min(cap, B_local)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_gather_fn(plan, mesh, axis, method, cap):
+    """Jitted shard_map gather, cached per static config — eager callers pay
+    compile once, not per-op dispatch through the mesh."""
+    if method == "allgather":
+        body = functools.partial(_gather_shard_allgather, plan=plan, axis=axis)
+    elif method == "a2a":
+        body = functools.partial(_gather_shard_a2a, plan=plan, axis=axis, cap=cap)
+    elif method == "ragged":
+        body = functools.partial(
+            _gather_shard_ragged, plan=plan, axis=axis, recv_capacity=cap
+        )
+    else:
+        raise ValueError(f"unknown gather method {method!r}")
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_scatter_fn(plan, mesh, axis, cap, accumulate):
+    body = functools.partial(
+        _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate
+    )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2):
+    n_nodes = mesh.shape[node_axis]
+    per_node = mesh.shape[device_axis]
+    body = functools.partial(
+        _gather_shard_hierarchy,
+        plan=plan,
+        node_axis=node_axis,
+        device_axis=device_axis,
+        n_nodes=n_nodes,
+        per_node=per_node,
+        cap1=cap1,
+        cap2=cap2,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P((node_axis, device_axis), None), P((node_axis, device_axis))),
+            out_specs=P((node_axis, device_axis), None),
+            check_vma=False,
+        )
+    )
+
+
 def gather(
     data: Array,
     ids: Array,
@@ -462,27 +512,14 @@ def gather(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
 
-    if method == "allgather":
-        body = functools.partial(_gather_shard_allgather, plan=plan, axis=axis)
-    elif method == "a2a":
+    if method == "a2a":
         cap = _bucket_cap(B_local, world, capacity_factor)
-        body = functools.partial(_gather_shard_a2a, plan=plan, axis=axis, cap=cap)
     elif method == "ragged":
-        recv_capacity = _round_up(max(int(B_local * capacity_factor), world, 8), 8)
-        recv_capacity = min(recv_capacity, world * B_local)
-        body = functools.partial(
-            _gather_shard_ragged, plan=plan, axis=axis, recv_capacity=recv_capacity
-        )
+        cap = _round_up(max(int(B_local * capacity_factor), world, 8), 8)
+        cap = min(cap, world * B_local)
     else:
-        raise ValueError(f"unknown gather method {method!r}")
-
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
-        out_specs=P(axis, None),
-        check_vma=False,
-    )
+        cap = 0
+    fn = _build_gather_fn(plan, mesh, axis, method, cap)
     return fn(data, ids)
 
 
@@ -522,15 +559,5 @@ def scatter(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
     cap = _bucket_cap(B_local, world, capacity_factor)
-
-    body = functools.partial(
-        _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate
-    )
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None)),
-        out_specs=P(axis, None),
-        check_vma=False,
-    )
+    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate)
     return fn(data, ids, rows)

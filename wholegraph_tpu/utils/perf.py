@@ -1,0 +1,84 @@
+"""Performance measurement utilities.
+
+Analog of the reference's bench machinery (reference:
+cpp/bench/common/wholegraph_benchmark.hpp:57-110 PerformanceMeter with
+warmup/run-count/max-seconds and per-metric bandwidth reporting, and
+MultiProcessMeasurePerformance).  Adds the remote-execution-safe timing
+pattern: through PJRT tunnels ``block_until_ready`` can return before device
+completion, so :func:`measure_chain` times a dependent on-device loop with a
+dynamic trip count between two scalar host fetches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Metric:
+    name: str
+    value: float
+    unit: str
+
+
+@dataclasses.dataclass
+class PerformanceMeter:
+    """Collects wall-time samples and derives throughput metrics."""
+
+    warmup: int = 2
+    run_count: int = 5
+    max_seconds: Optional[float] = None
+    samples: List[float] = dataclasses.field(default_factory=list)
+
+    def run(self, fn: Callable[[], None]) -> "PerformanceMeter":
+        for _ in range(self.warmup):
+            fn()
+        start = time.perf_counter()
+        for _ in range(self.run_count):
+            t0 = time.perf_counter()
+            fn()
+            self.samples.append(time.perf_counter() - t0)
+            if self.max_seconds and time.perf_counter() - start > self.max_seconds:
+                break
+        return self
+
+    @property
+    def mean_time(self) -> float:
+        return sum(self.samples) / max(len(self.samples), 1)
+
+    @property
+    def min_time(self) -> float:
+        return min(self.samples) if self.samples else 0.0
+
+    def bandwidth(self, bytes_per_iter: int, name: str = "bandwidth") -> Metric:
+        return Metric(name, bytes_per_iter / self.mean_time / 1e9, "GB/s")
+
+    def throughput(self, items_per_iter: int, name: str, unit: str) -> Metric:
+        return Metric(name, items_per_iter / self.mean_time, unit)
+
+
+def measure_chain(step_fn: Callable, n_iters: int = 8, *args) -> float:
+    """Seconds per iteration of ``step_fn(i, *args) -> scalar contribution``,
+    measured as a dependent fori_loop chain with dynamic trip count (tunnel-
+    safe; the fixed round trip is differenced out)."""
+
+    @jax.jit
+    def chain(n, *a):
+        def body(i, acc):
+            return acc + step_fn(i, *a)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(chain(1, *args))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain(1, *args))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(1 + n_iters, *args))
+    full = time.perf_counter() - t0
+    return max((full - base) / n_iters, 1e-9)
