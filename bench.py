@@ -70,8 +70,74 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     return gathered_bytes / dt / 1e9, dt
 
 
+def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8):
+    """Neighbor-sampling throughput (edges/s) — the reference's sampler
+    bench dimension (cpp/tests/wholegraph_ops parameterized perf)."""
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    row_ptr = jnp.arange(n_rows + 1, dtype=jnp.int32) * deg
+
+    @jax.jit
+    def make_col():
+        return jax.random.randint(
+            jax.random.PRNGKey(0), (n_rows * deg,), 0, n_rows, dtype=jnp.int32
+        )
+
+    col = make_col()
+
+    @jax.jit
+    def chain(col, n):
+        def body(i, acc):
+            centers = jax.random.randint(
+                jax.random.PRNGKey(i), (batch,), 0, n_rows, dtype=jnp.int32
+            )
+            res = csr_sample_neighbors(row_ptr, col, centers, K, seed=0)
+            return acc + res.neighbors[0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(chain(col, 1))
+    t0 = time.perf_counter()
+    float(chain(col, 1))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(col, 1 + iters))
+    full = time.perf_counter() - t0
+    dt = max((full - base) / iters, 1e-9)
+    return batch * K / dt, dt
+
+
+def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
+    """Padded-neighborhood aggregation throughput (the SpMM of the sampled
+    path; replaces cuGraph-Ops agg_concat_n2n)."""
+    from wholegraph_tpu.ops.spmm import padded_reduce
+
+    @jax.jit
+    def chain(x, n):
+        def body(i, acc):
+            nbr = jax.random.randint(
+                jax.random.PRNGKey(i), (batch, K), 0, num_src, dtype=jnp.int32
+            )
+            out = padded_reduce(x, nbr, jnp.ones((batch, K), bool), "mean")
+            return acc + out[0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    x = jax.jit(lambda: jnp.ones((num_src, dim), jnp.float32))()
+    float(chain(x, 1))
+    t0 = time.perf_counter()
+    float(chain(x, 1))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(x, 1 + iters))
+    full = time.perf_counter() - t0
+    dt = max((full - base) / iters, 1e-9)
+    return batch * K / dt, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="gather", choices=["gather", "sampling", "spmm"])
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
@@ -81,7 +147,42 @@ def main():
     backend = jax.default_backend()
     if backend == "cpu":
         # keep CPU smoke runs fast
-        args.rows, args.batch, args.iters = 200_000, 1 << 16, 3
+        args.rows, args.batch, args.iters = 200_000, 1 << 14, 3
+
+    if args.metric == "sampling":
+        eps, dt = bench_sampling(
+            n_rows=min(args.rows, 2_000_000), batch=min(args.batch, 1 << 16),
+            iters=args.iters,
+        )
+        # SoL proxy: row_ptr+col fetch bound -> edges/s at HBM bw over
+        # (4B col + amortized ptr) per edge is optimistic; report raw
+        print(
+            json.dumps(
+                {
+                    "metric": "sampling_throughput",
+                    "value": round(eps / 1e6, 3),
+                    "unit": "Medges/s",
+                    "vs_baseline": round(eps * 4 / detect_hbm_gbps() / 1e9, 4),
+                }
+            )
+        )
+        return
+    if args.metric == "spmm":
+        eps, dt = bench_spmm(batch=min(args.batch, 1 << 16), dim=args.dim,
+                             iters=args.iters)
+        bytes_per_edge = args.dim * 4
+        sol_eps = detect_hbm_gbps() * 1e9 / bytes_per_edge
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_throughput",
+                    "value": round(eps / 1e6, 3),
+                    "unit": "Medges/s",
+                    "vs_baseline": round(eps / sol_eps, 4),
+                }
+            )
+        )
+        return
 
     gbps, dt = bench_gather(args.rows, args.dim, args.batch, args.iters)
     sol = detect_hbm_gbps() / 2.0

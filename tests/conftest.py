@@ -14,7 +14,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# WGTPU_TEST_TPU=1 keeps the real TPU backend (for tests/test_pallas_tpu.py)
+if os.environ.get("WGTPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is dominated by shard_map/collective
 # compiles, which are identical across runs
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
