@@ -83,6 +83,19 @@ def main():
     else:
         estate = emb.init(jax.random.PRNGKey(args.seed))
 
+    # read-only cache tier (reference cache-type/cache-ratio options):
+    # replicate the hottest rows; incompatible with a trainable table
+    cache = None
+    if args.cache_type != "none" and not args.train_embedding:
+        from wholegraph_tpu.embedding.cache import build_hot_cache, hot_ids_by_degree
+        from wholegraph_tpu.memory import ShardedTable
+
+        feat_table = ShardedTable(estate.table, emb.plan, mesh, emb.axis)
+        cache = build_hot_cache(
+            feat_table, hot_ids_by_degree(ds.row_ptr, args.cache_ratio)
+        )
+        print(f"hot cache: {cache.size} rows replicated ({args.cache_type})")
+
     model = HomoGNN(
         model_type=args.model,
         hidden_dim=args.hiddensize,
@@ -106,12 +119,26 @@ def main():
     opt_state = dense_opt.init(params)
 
     train_emb = bool(args.train_embedding)
+    weighted_sampling = args.sample_method == "weighted"
+    if weighted_sampling and g.edge_weight is None:
+        raise SystemExit("--sample-method weighted needs a graph with edge weights")
+
+    def fetch_rows(estate, ml):
+        if cache is not None:
+            from wholegraph_tpu.embedding.cache import gather_with_cache
+            from wholegraph_tpu.memory import ShardedTable
+
+            tab = ShardedTable(estate.table, emb.plan, mesh, emb.axis)
+            return gather_with_cache(tab, cache, ml.unique_gids)
+        return emb.gather(estate, ml.unique_gids)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def train_step(params, estate, opt_state, centers, labels, seed, dropout_key):
-        ml = g.multilayer_sample(centers, fanouts, seed=seed)
+        ml = g.multilayer_sample(
+            centers, fanouts, seed=seed, weighted=weighted_sampling
+        )
         ids = ml.unique_gids
-        rows = emb.gather(estate, ids) * ml.unique_mask[:, None]
+        rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
 
         def loss_fn(p, r):
             logits = model.apply(
@@ -130,8 +157,10 @@ def main():
 
     @jax.jit
     def eval_step(params, estate, centers, labels):
-        ml = g.multilayer_sample(centers, fanouts, seed=0)
-        rows = emb.gather(estate, ml.unique_gids) * ml.unique_mask[:, None]
+        ml = g.multilayer_sample(
+            centers, fanouts, seed=0, weighted=weighted_sampling
+        )
+        rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
         logits = model.apply(params, rows, sample=ml, train=False)
         return cross_entropy_loss(logits, labels), accuracy(logits, labels)
 

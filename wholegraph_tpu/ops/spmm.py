@@ -32,8 +32,14 @@ Array = jax.Array
 
 
 def padded_gather_neighbors(x: Array, nbr_idx: Array) -> Array:
-    """x: [U, D] node features; nbr_idx: [B, K] → [B, K, D]."""
-    return jnp.take(x, nbr_idx, axis=0, mode="clip")
+    """x: [U, D] node features; nbr_idx: [B, K] → [B, K, D].
+
+    Routed through local_take so large batches use the Pallas DMA-ring
+    gather on TPU (ops/gather_pallas.py) instead of XLA's serialized take."""
+    from .gather import local_take
+
+    B, K = nbr_idx.shape
+    return local_take(x, nbr_idx.reshape(-1)).reshape(B, K, -1)
 
 
 def padded_reduce(
