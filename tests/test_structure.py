@@ -87,3 +87,35 @@ def test_multilayer_deterministic():
     np.testing.assert_array_equal(np.asarray(a.unique_gids), np.asarray(b.unique_gids))
     c = g.multilayer_sample(centers, (3, 2), seed=43)
     assert not np.array_equal(np.asarray(a.unique_gids), np.asarray(c.unique_gids))
+
+
+def test_multilayer_weighted():
+    """Weighted multilayer sampling: runs, respects masks, biases to heavy
+    edges (A-Res through the multilayer path)."""
+    import jax.numpy as jnp
+    from wholegraph_tpu.graph import GraphStructure
+
+    n = 60
+    row_ptr = np.arange(n + 1, dtype=np.int64) * 10
+    col = np.random.RandomState(0).randint(0, n, n * 10).astype(np.int32)
+    w = np.full(n * 10, 0.01, np.float32)
+    w[::10] = 50.0  # first neighbor of each node is heavy
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=n * 10,
+        max_degree=10,
+        edge_weight=jnp.asarray(w),
+    )
+    centers = jnp.asarray(np.arange(16))
+    hits = 0
+    for seed in range(20):
+        ml = g.multilayer_sample(centers, (2,), seed=seed, weighted=True)
+        hop = ml.hops[0]
+        pos0 = np.asarray(
+            g.sample_one_hop(centers, 2, seed=seed, weighted=True).positions
+        )
+        hits += (pos0[np.asarray(hop.mask)] == 0).sum()
+    total = 20 * 16 * 2
+    assert hits > total * 0.4, f"heavy edge sampled only {hits}/{total}"

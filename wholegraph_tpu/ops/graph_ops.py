@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_SENTINEL = jnp.int64(jnp.iinfo(jnp.int32).max)
+_SENTINEL = int(jnp.iinfo(jnp.int32).max)  # plain int: no device array at import
 
 
 def append_unique(targets: Array, neighbors: Array, neighbor_mask: Array):

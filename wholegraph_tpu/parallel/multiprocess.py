@@ -20,25 +20,36 @@ from ..utils import logger
 from ..utils.error import check
 
 
-def _child(rank: int, world: int, port: int, devices_per_proc: int, fn, args):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={devices_per_proc}"
-    )
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    import jax
+def _child(rank: int, world: int, port: int, devices_per_proc: int, log_path, fn, args):
+    import sys
+    import traceback
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=world,
-        process_id=rank,
-    )
+    log = open(log_path, "w")
     try:
-        fn(rank, world, *args)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={devices_per_proc}"
+        )
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=world,
+            process_id=rank,
+        )
+        try:
+            fn(rank, world, *args)
+        finally:
+            jax.distributed.shutdown()
+    except BaseException:
+        traceback.print_exc(file=log)
+        log.flush()
+        sys.exit(1)
     finally:
-        jax.distributed.shutdown()
+        log.close()
 
 
 def multiprocess_run(
@@ -60,10 +71,14 @@ def multiprocess_run(
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
         s.close()
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="wgtpu_mp_")
+    logs = [os.path.join(logdir, f"rank{r}.log") for r in range(world)]
     ctx = mp.get_context("spawn")  # fresh interpreters: no inherited backends
     procs = [
         ctx.Process(
-            target=_child, args=(r, world, port, devices_per_proc, fn, args)
+            target=_child, args=(r, world, port, devices_per_proc, logs[r], fn, args)
         )
         for r in range(world)
     ]
@@ -76,5 +91,13 @@ def multiprocess_run(
                 q.terminate()
             check(False, f"rank {r} timed out after {timeout}s")
     bad = [(r, p.exitcode) for r, p in enumerate(procs) if p.exitcode != 0]
-    check(not bad, f"child failures (rank, exitcode): {bad}")
+    if bad:
+        details = []
+        for r, code in bad:
+            try:
+                with open(logs[r]) as f:
+                    details.append(f"rank {r} (exit {code}):\n{f.read()[-2000:]}")
+            except OSError:
+                details.append(f"rank {r} (exit {code}): <no log>")
+        check(False, "child failures:\n" + "\n".join(details))
     logger.debug("multiprocess_run(%d) completed", world)
