@@ -137,3 +137,20 @@ def test_create_and_roundtrip(mesh8):
     # local_shard covers each shard's rows
     got = np.concatenate([tab.local_shard(s) for s in range(8)])
     assert got.shape == arr.shape
+
+
+def test_host_location_staging(mesh8):
+    """Host (pinned) location = staging tier (wholememory_location_t analog):
+    allocate/fill on host, migrate to device, gather."""
+    n, dim = 200, 16
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, ref, location="host")
+    assert tab.location == "host"
+    dev = tab.to_location("device")
+    assert dev.location == "device"
+    ids = np.random.RandomState(0).randint(0, n, 64)
+    out = dev.gather(put_ids(mesh8, ids.astype(np.int64)))
+    np.testing.assert_allclose(np.asarray(out), ref[ids])
+    back = dev.to_location("host")
+    assert back.location == "host"
+    np.testing.assert_allclose(back.to_array(), ref)

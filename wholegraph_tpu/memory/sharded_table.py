@@ -83,6 +83,25 @@ class ShardedTable:
         spec = P(self.axis, None) if self.data.ndim > 1 else P(self.axis)
         return NamedSharding(self.mesh, spec)
 
+    @property
+    def location(self) -> str:
+        """'device' (HBM) or 'host' (pinned host memory) — the analog of
+        wholememory_location_t (reference: wholememory.h WML_HOST/WML_DEVICE).
+
+        On GPU a host-located table is directly readable from kernels over
+        PCIe; TPU kernels cannot touch host memory, so a host table here is a
+        *staging tier* (larger-than-HBM storage, checkpoint staging): call
+        :meth:`to_location`('device') before gather/scatter."""
+        mk = getattr(self.data.sharding, "memory_kind", None)
+        return "host" if mk == "pinned_host" else "device"
+
+    def to_location(self, location: str) -> "ShardedTable":
+        """Migrate between HBM and pinned host memory."""
+        kind = "pinned_host" if location == "host" else "device"
+        spec = P(self.axis, None) if self.data.ndim > 1 else P(self.axis)
+        sharding = NamedSharding(self.mesh, spec, memory_kind=kind)
+        return dataclasses.replace(self, data=jax.device_put(self.data, sharding))
+
     # -- creation -------------------------------------------------------------
 
     @staticmethod
@@ -96,16 +115,19 @@ class ShardedTable:
         plan: Optional[PartitionPlan] = None,
         init: Optional[Callable] = None,
         key: Optional[Array] = None,
+        location: str = "device",
     ) -> "ShardedTable":
         """Collectively allocate a zero/initialised table (create_wholememory
-        analog, memory_handle.cpp:1793)."""
+        analog, memory_handle.cpp:1793).  location='host' allocates in pinned
+        host memory (staging tier — see :attr:`location`)."""
         world = mesh.shape[axis]
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")
         phys_shape = (plan.total_physical_rows, dim) if dim else (plan.total_physical_rows,)
         spec = P(axis, None) if dim else P(axis)
-        sharding = NamedSharding(mesh, spec)
+        kind = "pinned_host" if location == "host" else "device"
+        sharding = NamedSharding(mesh, spec, memory_kind=kind)
         if init is None:
             make = jax.jit(
                 lambda: jnp.zeros(phys_shape, dtype), out_shardings=sharding
@@ -125,6 +147,7 @@ class ShardedTable:
         *,
         axis: str = "data",
         plan: Optional[PartitionPlan] = None,
+        location: str = "device",
     ) -> "ShardedTable":
         """Build a table from a host/global logical ``[n, dim]`` array,
         permuting rows into the physical partition layout."""
@@ -140,7 +163,8 @@ class ShardedTable:
         phys = np.zeros(phys_shape, dtype=arr.dtype)
         phys[plan.physical_index_np(np.arange(n, dtype=np.int64))] = arr
         spec = P(axis, None) if dim else P(axis)
-        data = jax.device_put(phys, NamedSharding(mesh, spec))
+        kind = "pinned_host" if location == "host" else "device"
+        data = jax.device_put(phys, NamedSharding(mesh, spec, memory_kind=kind))
         return ShardedTable(data, plan, mesh, axis)
 
     # -- access ---------------------------------------------------------------

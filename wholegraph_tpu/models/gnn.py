@@ -77,6 +77,10 @@ class HomoGNN(nn.Module):
         train: bool = False,
     ) -> Array:
         resolve_framework(self.framework)
+        if self.model_type.lower() == "gat":
+            assert self.hidden_dim % max(self.num_heads, 1) == 0, (
+                f"hidden_dim {self.hidden_dim} must divide num_heads {self.num_heads}"
+            )
         L = self.num_layers
         adjs: Sequence[Adj]
         if sample is not None:
