@@ -57,14 +57,7 @@ def _round_up(x: int, m: int) -> int:
 _PALLAS_MIN_ROWS = 4096  # below this, jnp.take's lower fixed overhead wins
 
 
-def local_take(shard: Array, slots: Array) -> Array:
-    """Gather rows of a local shard: out[i] = shard[slots[i]] (clip semantics).
-
-    The local analog of gather_func_kernel (gather_scatter_func.cuh:254).
-    On TPU, large batches with 128-aligned rows dispatch to the Pallas
-    DMA-ring kernel (ops/gather_pallas.py — ~1.4x XLA's serialized gather on
-    v5e); everything else uses XLA's take.
-    """
+def _local_take_impl(shard: Array, slots: Array) -> Array:
     if (
         jax.default_backend() == "tpu"
         and shard.ndim == 2
@@ -82,6 +75,40 @@ def local_take(shard: Array, slots: Array) -> Array:
         out = gather_rows_pallas(shard, slots)
         return out[:B] if pad else out
     return jnp.take(shard, slots, axis=0, mode="clip")
+
+
+@jax.custom_vjp
+def local_take(shard: Array, slots: Array) -> Array:
+    """Gather rows of a local shard: out[i] = shard[slots[i]] (clip semantics).
+
+    The local analog of gather_func_kernel (gather_scatter_func.cuh:254).
+    On TPU, large batches with 128-aligned rows dispatch to the Pallas
+    DMA-ring kernel (ops/gather_pallas.py — ~1.4x XLA's serialized gather on
+    v5e); everything else uses XLA's take.  Differentiable: the backward is
+    the matching scatter-add (pallas kernels have no autodiff rules, so the
+    VJP is explicit).
+    """
+    return _local_take_impl(shard, slots)
+
+
+def _local_take_fwd(shard, slots):
+    return _local_take_impl(shard, slots), (slots, shard)
+
+
+def _local_take_bwd(res, ct):
+    slots, shard = res
+    clipped = jnp.clip(slots, 0, shard.shape[0] - 1)
+    dshard = (
+        jnp.zeros(shard.shape, ct.dtype)
+        .at[clipped]
+        .add(ct, mode="drop")
+        .astype(shard.dtype)
+    )
+    dslots = jnp.zeros(slots.shape, jax.dtypes.float0)
+    return dshard, dslots
+
+
+local_take.defvjp(_local_take_fwd, _local_take_bwd)
 
 
 def local_write(shard: Array, slots: Array, rows: Array, mask: Optional[Array] = None) -> Array:
