@@ -103,6 +103,7 @@ def main():
         num_layers=args.layernum,
         num_heads=args.heads,
         dropout=args.dropout,
+        aggregator=args.aggregator,
         framework=args.framework,
     )
 
@@ -165,6 +166,8 @@ def main():
         return cross_entropy_loss(logits, labels), accuracy(logits, labels)
 
     def run_eval(split, batchsize, seed):
+        # clamp so small splits still yield at least one full batch
+        batchsize = min(batchsize, max(len(split.idx) // world, 1) * world)
         accs, losses = [], []
         for centers, labels in batch_iterator(
             split, batchsize, shuffle=False, seed=seed

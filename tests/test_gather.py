@@ -154,3 +154,34 @@ def test_host_location_staging(mesh8):
     back = dev.to_location("host")
     assert back.location == "host"
     np.testing.assert_allclose(back.to_array(), ref)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float16, np.int32, np.int64])
+def test_gather_dtypes(mesh8, dtype):
+    """Dtype sweep (reference TEST_P matrix: memory type x dtype,
+    wholememory_embedding_tests.cu:171-212)."""
+    n, dim, B = 300, 16, 64
+    if np.issubdtype(dtype, np.floating):
+        ref = deterministic_rows(n, dim).astype(dtype)
+    else:
+        ref = (deterministic_rows(n, dim) * 1000).astype(dtype)
+    tab = ShardedTable.from_array(mesh8, ref)
+    ids = np.random.RandomState(0).randint(0, n, B).astype(np.int64)
+    out = tab.gather(put_ids(mesh8, ids))
+    np.testing.assert_array_equal(np.asarray(out), ref[ids])
+
+
+def test_gather_bfloat16(mesh8):
+    import jax.numpy as jnp2
+
+    n, dim, B = 200, 16, 64
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(
+        mesh8, np.asarray(jnp.asarray(ref, jnp2.bfloat16))
+    )
+    assert tab.dtype == jnp2.bfloat16
+    ids = np.random.RandomState(1).randint(0, n, B).astype(np.int64)
+    out = tab.gather(put_ids(mesh8, ids))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref[ids], rtol=1e-2, atol=1e-2
+    )

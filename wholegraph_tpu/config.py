@@ -49,6 +49,7 @@ def add_common_model_options(ap: argparse.ArgumentParser) -> None:
     g.add_argument("--heads", type=int, default=4)
     g.add_argument("--dropout", type=float, default=0.5)
     g.add_argument("--classnum", type=int, default=40)
+    g.add_argument("--aggregator", default="mean", choices=["mean", "sum", "max"])
     g.add_argument("--framework", default="wg",
                    help="dgl|pyg|wg|cugraph accepted for reference-CLI parity; "
                         "all resolve to native TPU convs")

@@ -35,10 +35,17 @@ def resolve_framework(name: str) -> str:
     return "native"
 
 
-def make_conv(model_type: str, out_dim: int, *, num_heads: int = 1, num_relations: int = 0):
+def make_conv(
+    model_type: str,
+    out_dim: int,
+    *,
+    num_heads: int = 1,
+    num_relations: int = 0,
+    aggregator: str = "mean",
+):
     mt = model_type.lower()
     if mt in ("sage", "graphsage"):
-        return SAGEConv(out_dim=out_dim)
+        return SAGEConv(out_dim=out_dim, aggregator=aggregator)
     if mt == "gcn":
         return GCNConv(out_dim=out_dim)
     if mt == "gat":
@@ -65,6 +72,7 @@ class HomoGNN(nn.Module):
     num_heads: int = 4
     num_relations: int = 0
     dropout: float = 0.5
+    aggregator: str = "mean"  # sage: mean | sum | max
     framework: str = "wg"  # API parity; always resolves to native
 
     @nn.compact
@@ -97,6 +105,7 @@ class HomoGNN(nn.Module):
                 out_dim,
                 num_heads=self.num_heads if i < L - 1 else 1,
                 num_relations=self.num_relations,
+                aggregator=self.aggregator,
             )
             if self.model_type.lower() == "rgcn":
                 et = edge_types[L - 1 - i] if edge_types is not None else None

@@ -195,6 +195,14 @@ def csr_sample_neighbors(
     """
     kw = gather_kwargs or {}
     K = int(max_sample)
+    # edge offsets are int32: with jax x64 disabled, graphs beyond 2^31
+    # edges need per-shard edge partitioning (each shard < 2^31)
+    ecount = getattr(col, "n", None) or col.shape[0]
+    if ecount >= 2**31:
+        raise NotImplementedError(
+            f"graph has {ecount} edges >= 2^31; shard the CSR so each shard's "
+            "edge offsets fit in int32 (x64 is disabled)"
+        )
     centers = centers.astype(jnp.int32)
     ptr_lo = _fetch(row_ptr, centers, **kw)
     ptr_hi = _fetch(row_ptr, centers + 1, **kw)
