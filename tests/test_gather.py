@@ -185,3 +185,17 @@ def test_gather_bfloat16(mesh8):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), ref[ids], rtol=1e-2, atol=1e-2
     )
+
+
+def test_gather_overflow_counter(mesh8):
+    from wholegraph_tpu.ops.gather import gather_overflow
+
+    n = 512
+    plan = PartitionPlan.equal(n, 8)
+    # uniform ids: no overflow expected at factor 2
+    ids = put_ids(mesh8, np.random.RandomState(0).randint(0, n, 256).astype(np.int64))
+    assert int(gather_overflow(ids, plan=plan, mesh=mesh8)[0]) == 0
+    # all ids to one shard: B_local=32 per device to owner 0, cap(32,8,2.0)=24
+    skew = put_ids(mesh8, np.zeros(256, np.int64))
+    dropped = int(gather_overflow(skew, plan=plan, mesh=mesh8)[0])
+    assert dropped == 8 * (32 - 24), dropped

@@ -213,3 +213,38 @@ def test_rgcn_sampled_end_to_end():
                     (col[seg][j] == nbr_gid) and (etype_arr[seg][j] == et_dev[i, k])
                     for j in range(row_ptr[c + 1] - row_ptr[c])
                 )
+
+
+def test_sampled_train_full_graph_eval():
+    """Params trained with sampling evaluate exactly on the full graph
+    (GraphStructure.to_full_graph + the same conv modules)."""
+    n, D, C, B = 150, 16, 4, 16
+    row_ptr, col = hs.random_csr(n, avg_deg=8, seed=30)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=int(row_ptr[-1]),
+        max_degree=int(np.diff(row_ptr).max()),
+    )
+    rs = np.random.RandomState(31)
+    feats = jnp.asarray(rs.randn(n, D).astype(np.float32))
+    model = HomoGNN(model_type="sage", hidden_dim=16, num_classes=C, num_layers=2)
+    ml = g.multilayer_sample(jnp.asarray(np.arange(B)), (4, 3), seed=0)
+    x = feats[ml.unique_gids] * ml.unique_mask[:, None]
+    params = model.init(jax.random.PRNGKey(0), x, sample=ml)
+
+    fg = g.to_full_graph()
+    assert fg.edge_src.shape == fg.edge_dst.shape
+    logits = model.apply(params, feats, graph=fg)
+    assert logits.shape == (n, C)
+    assert np.isfinite(np.asarray(logits)).all()
+    # full-graph aggregation must equal padded aggregation with ALL
+    # neighbors sampled (fanout >= max degree -> exact)
+    K = int(np.diff(row_ptr).max())
+    ml_all = g.multilayer_sample(jnp.asarray(np.arange(n)), (K, K), seed=0)
+    x_all = feats[ml_all.unique_gids] * ml_all.unique_mask[:, None]
+    logits_pad = model.apply(params, x_all, sample=ml_all)
+    np.testing.assert_allclose(
+        np.asarray(logits_pad), np.asarray(logits)[:n], rtol=2e-4, atol=2e-4
+    )

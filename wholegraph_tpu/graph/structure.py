@@ -149,6 +149,28 @@ class GraphStructure:
             num_relations=num_relations,
         )
 
+    def to_full_graph(self):
+        """COO view for exact full-graph passes: messages flow col→row, edges
+        already grouped by destination (CSR order).  Returns a FullGraph for
+        models.conv layers."""
+        from ..models.conv import FullGraph
+
+        rp = np.asarray(self.row_ptr)
+        deg = np.diff(rp)
+        edge_dst = jnp.asarray(
+            np.repeat(np.arange(self.node_count, dtype=np.int64), deg), jnp.int32
+        )
+        return FullGraph(
+            edge_src=jnp.asarray(self.col)
+            if not hasattr(self.col, "to_array")
+            else jnp.asarray(self.col.to_array()),
+            edge_dst=edge_dst,
+            num_nodes=self.node_count,
+            edge_type=jnp.asarray(self.edge_type)
+            if self.edge_type is not None and not hasattr(self.edge_type, "to_array")
+            else None,
+        )
+
     # -- sampling -------------------------------------------------------------
 
     def sample_one_hop(

@@ -1,6 +1,7 @@
 from .gather import (
     gather,
     gather_hierarchical,
+    gather_overflow,
     local_add,
     local_take,
     local_write,
@@ -19,6 +20,7 @@ from . import rng
 __all__ = [
     "gather",
     "gather_hierarchical",
+    "gather_overflow",
     "spmm",
     "scatter",
     "local_take",

@@ -550,6 +550,42 @@ def gather(
     return fn(data, ids)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_overflow_fn(plan, mesh, axis, cap):
+    def body(ids):
+        owner = plan.owner(ids)
+        counts = jnp.bincount(owner, length=plan.world)
+        dropped = jnp.sum(jnp.maximum(counts - cap, 0))
+        return lax.psum(dropped.reshape(1), axis_name=axis)
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis),), out_specs=P(), check_vma=False
+        )
+    )
+
+
+def gather_overflow(
+    ids: Array,
+    *,
+    plan: PartitionPlan,
+    mesh: Mesh,
+    axis: str = "data",
+    capacity_factor: float = 2.0,
+) -> Array:
+    """Number of ids the 'a2a' gather/scatter would DROP at the current
+    capacity (bucket overflow observability — call periodically in
+    production to validate capacity_factor; reference alltoallv is dynamic
+    and never drops, so this is the price of static shapes)."""
+    world = plan.world
+    if world == 1:
+        return jnp.zeros((1,), jnp.int32)
+    B_global = ids.shape[0]
+    check_input(B_global % world == 0, "global batch must divide mesh axis")
+    cap = _bucket_cap(B_global // world, world, capacity_factor)
+    return _build_overflow_fn(plan, mesh, axis, cap)(ids)
+
+
 def scatter(
     data: Array,
     ids: Array,
