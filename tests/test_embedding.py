@@ -178,3 +178,21 @@ def test_training_reduces_loss(mesh8):
         state, loss = train_step(state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, losses[::10]
+
+
+def test_make_train_step(mesh8):
+    n, dim, B = 64, 8, 64
+    emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.LazyAdam())
+    state = emb.init(jax.random.PRNGKey(0))
+    target = deterministic_rows(n, dim)
+    tgt_dev = put(mesh8, target, P("data", None))
+    ids_dev = put(mesh8, np.arange(n, dtype=np.int64), P("data"))
+
+    step = emb.make_train_step(
+        lambda rows, tgt: jnp.mean((rows - tgt) ** 2), lr=0.05
+    )
+    losses = []
+    for _ in range(25):
+        state, loss = step(state, ids_dev, tgt_dev)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.3, losses[::8]

@@ -199,3 +199,18 @@ def test_gather_overflow_counter(mesh8):
     skew = put_ids(mesh8, np.zeros(256, np.int64))
     dropped = int(gather_overflow(skew, plan=plan, mesh=mesh8)[0])
     assert dropped == 8 * (32 - 24), dropped
+
+
+@pytest.mark.parametrize("plan_kind", PLANS)
+@pytest.mark.parametrize("location", ["device", "host"])
+def test_create_matrix(mesh8, plan_kind, location):
+    """Creation matrix: plan type x location (reference
+    wholememory_handle_tests.cpp:29-116 parameter sweep)."""
+    n, dim = 120, 8
+    plan = plan_for(plan_kind, n, 8)
+    tab = ShardedTable.create(mesh8, n, dim, plan=plan, location=location)
+    assert tab.location == location
+    assert tab.shape == (n, dim)
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, ref, plan=plan, location=location)
+    np.testing.assert_allclose(tab.to_array(), ref)

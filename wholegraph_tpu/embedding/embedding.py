@@ -283,6 +283,28 @@ class Embedding:
         table, new_slots = fn(state.table, slot_vals, ids, grads, step, lr)
         return EmbeddingState(table, dict(zip(slot_names, new_slots)), step)
 
+    # -- training convenience -------------------------------------------------
+
+    def make_train_step(self, loss_fn, lr, *, gather_kwargs=None, donate=True):
+        """Build a jitted step implementing the reference's training pattern
+        (EmbeddingLookupFn forward + deferred sparse apply,
+        torch/embedding.py:214-238 + 318):
+
+            loss_fn(rows, *batch) -> scalar loss
+
+        returns ``step(state, ids, *batch) -> (state, loss)`` where the rows
+        for ``ids`` are gathered, differentiated, and the row-gradients
+        applied sparsely."""
+        gkw = gather_kwargs or {}
+
+        def step(state, ids, *batch):
+            rows = self.gather(state, ids, **gkw)
+            loss, drows = jax.value_and_grad(loss_fn)(rows, *batch)
+            new_state = self.apply_gradients(state, ids, drows, lr)
+            return new_state, loss
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
     # -- host access (tests / checkpoint) -------------------------------------
 
     def to_array(self, state: EmbeddingState) -> np.ndarray:

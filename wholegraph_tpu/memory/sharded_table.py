@@ -129,15 +129,23 @@ class ShardedTable:
         kind = "pinned_host" if location == "host" else "device"
         sharding = NamedSharding(mesh, spec, memory_kind=kind)
         if init is None:
-            make = jax.jit(
-                lambda: jnp.zeros(phys_shape, dtype), out_shardings=sharding
-            )
-            data = make()
+            if location == "host":
+                # jit with pinned_host out_shardings isn't universally
+                # supported; stream zeros from the host instead
+                data = jax.device_put(np.zeros(phys_shape, np.dtype(dtype)), sharding)
+            else:
+                make = jax.jit(
+                    lambda: jnp.zeros(phys_shape, dtype), out_shardings=sharding
+                )
+                data = make()
         else:
             if key is None:
                 key = jax.random.PRNGKey(0)
-            make = jax.jit(lambda k: init(k, phys_shape, dtype), out_shardings=sharding)
+            dev_sharding = NamedSharding(mesh, spec)
+            make = jax.jit(lambda k: init(k, phys_shape, dtype), out_shardings=dev_sharding)
             data = make(key)
+            if location == "host":
+                data = jax.device_put(data, sharding)
         return ShardedTable(data, plan, mesh, axis)
 
     @staticmethod
