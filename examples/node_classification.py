@@ -41,6 +41,8 @@ from wholegraph_tpu.models import HomoGNN, accuracy, cross_entropy_loss
 
 def main():
     ap = make_parser("node classification (wholegraph_tpu)")
+    ap.add_argument("--full-graph-eval", action="store_true",
+                    help="evaluate with exact full-graph message passing")
     args = ap.parse_args()
     fanouts = parse_fanouts(args.neighbors)
     assert len(fanouts) == args.layernum, "--neighbors must match --layernum"
@@ -156,14 +158,40 @@ def main():
             estate = emb.apply_gradients(estate, ids, dr, args.lr * 0.1)
         return params, estate, opt_state, loss, accuracy(logits, labels)
 
-    @jax.jit
-    def eval_step(params, estate, centers, labels):
-        ml = g.multilayer_sample(
-            centers, fanouts, seed=0, weighted=weighted_sampling
+    if args.full_graph_eval:
+        fg = g.to_full_graph()
+        n_pad = -ds.node_count % world
+        all_ids = put(
+            np.concatenate(
+                [np.arange(ds.node_count), np.zeros(n_pad)]
+            ).astype(np.int32),
+            P("data"),
         )
-        rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
-        logits = model.apply(params, rows, sample=ml, train=False)
-        return cross_entropy_loss(logits, labels), accuracy(logits, labels)
+
+        @jax.jit
+        def eval_logits_all(params, estate, all_ids):
+            rows = emb.gather(estate, all_ids)[: ds.node_count]
+            return model.apply(params, rows, graph=fg, train=False)
+
+        @jax.jit
+        def eval_from_logits(logits_all, centers, labels):
+            logits = jnp.take(logits_all, centers, axis=0)
+            return cross_entropy_loss(logits, labels), accuracy(logits, labels)
+
+        def eval_step(params, estate, centers, labels):
+            return eval_from_logits(
+                eval_logits_all(params, estate, all_ids), centers, labels
+            )
+    else:
+
+        @jax.jit
+        def eval_step(params, estate, centers, labels):
+            ml = g.multilayer_sample(
+                centers, fanouts, seed=0, weighted=weighted_sampling
+            )
+            rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
+            logits = model.apply(params, rows, sample=ml, train=False)
+            return cross_entropy_loss(logits, labels), accuracy(logits, labels)
 
     def run_eval(split, batchsize, seed):
         # clamp so small splits still yield at least one full batch

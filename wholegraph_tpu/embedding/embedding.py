@@ -141,8 +141,10 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
         opt=emb.optimizer,
         slot_names=slot_names,
     )
+    # donate table + slots: the sparse update must not double-buffer the
+    # whole sharded table (in-place semantics, SURVEY §7 hard part)
     if emb.plan.world == 1:
-        return jax.jit(body)
+        return jax.jit(body, donate_argnums=(0, 1))
     return jax.jit(
         jax.shard_map(
             body,
@@ -160,7 +162,8 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
                 tuple(P(emb.axis, None) for _ in slot_names),
             ),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0, 1),
     )
 
 
@@ -265,6 +268,10 @@ class Embedding:
 
         ids/grads are sharded over the mesh axis like a gather batch; duplicate
         ids — within and across devices — are deduplicated with summed grads.
+
+        The input state's table and slot buffers are DONATED (updated in
+        place; no double-buffering of the sharded table) — do not reuse the
+        old state after this call.
         """
         world = self.plan.world
         step = state.step + 1
