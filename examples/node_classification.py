@@ -43,6 +43,9 @@ def main():
     ap = make_parser("node classification (wholegraph_tpu)")
     ap.add_argument("--full-graph-eval", action="store_true",
                     help="evaluate with exact full-graph message passing")
+    ap.add_argument("--scan-epoch", action="store_true",
+                    help="run each whole epoch inside one jit via lax.scan "
+                         "(amortises per-step dispatch; TPU-native idiom)")
     args = ap.parse_args()
     fanouts = parse_fanouts(args.neighbors)
     assert len(fanouts) == args.layernum, "--neighbors must match --layernum"
@@ -135,8 +138,7 @@ def main():
             return gather_with_cache(tab, cache, ml.unique_gids)
         return emb.gather(estate, ml.unique_gids)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def train_step(params, estate, opt_state, centers, labels, seed, dropout_key):
+    def _train_body(params, estate, opt_state, centers, labels, seed, dropout_key):
         ml = g.multilayer_sample(
             centers, fanouts, seed=seed, weighted=weighted_sampling
         )
@@ -157,6 +159,26 @@ def main():
         if train_emb:
             estate = emb.apply_gradients(estate, ids, dr, args.lr * 0.1)
         return params, estate, opt_state, loss, accuracy(logits, labels)
+
+    train_step = functools.partial(jax.jit, donate_argnums=(1,))(_train_body)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def train_epoch_scan(params, estate, opt_state, centers_s, labels_s, seeds, keys):
+        """Whole epoch in one compiled scan: S steps with zero host round
+        trips (the lax.scan idiom; sampling is traced per step)."""
+
+        def body(carry, batch):
+            params, estate, opt_state = carry
+            centers, labels, seed, key = batch
+            params, estate, opt_state, loss, _ = _train_body(
+                params, estate, opt_state, centers, labels, seed, key
+            )
+            return (params, estate, opt_state), loss
+
+        (params, estate, opt_state), losses = jax.lax.scan(
+            body, (params, estate, opt_state), (centers_s, labels_s, seeds, keys)
+        )
+        return params, estate, opt_state, losses
 
     if args.full_graph_eval:
         fg = g.to_full_graph()
@@ -211,17 +233,32 @@ def main():
     global_step = 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
-        ep_losses = []
-        for centers, labels in batch_iterator(
-            ds.train, args.batchsize, seed=args.seed + epoch
-        ):
-            params, estate, opt_state, loss, acc = train_step(
-                params, estate, opt_state,
-                put(centers, P("data")), put(labels, P("data")),
-                global_step, jax.random.PRNGKey(global_step),
+        if args.scan_epoch:
+            batches = list(
+                batch_iterator(ds.train, args.batchsize, seed=args.seed + epoch)
             )
-            ep_losses.append(float(loss))
-            global_step += 1
+            S = len(batches)
+            centers_s = put(np.stack([b[0] for b in batches]), P(None, "data"))
+            labels_s = put(np.stack([b[1] for b in batches]), P(None, "data"))
+            seeds = jnp.arange(global_step, global_step + S, dtype=jnp.int32)
+            keys = jax.vmap(jax.random.PRNGKey)(seeds)
+            params, estate, opt_state, losses = train_epoch_scan(
+                params, estate, opt_state, centers_s, labels_s, seeds, keys
+            )
+            ep_losses = list(np.asarray(losses))
+            global_step += S
+        else:
+            ep_losses = []
+            for centers, labels in batch_iterator(
+                ds.train, args.batchsize, seed=args.seed + epoch
+            ):
+                params, estate, opt_state, loss, acc = train_step(
+                    params, estate, opt_state,
+                    put(centers, P("data")), put(labels, P("data")),
+                    global_step, jax.random.PRNGKey(global_step),
+                )
+                ep_losses.append(float(loss))
+                global_step += 1
         epoch_time = time.perf_counter() - t0
         vloss, vacc = run_eval(ds.valid, args.valid_batchsize, epoch)
         print(
