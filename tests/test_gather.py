@@ -214,3 +214,22 @@ def test_create_matrix(mesh8, plan_kind, location):
     ref = deterministic_rows(n, dim)
     tab = ShardedTable.from_array(mesh8, ref, plan=plan, location=location)
     np.testing.assert_allclose(tab.to_array(), ref)
+
+
+def test_gather_capacity_drop_semantics(mesh8):
+    """Documented drop behavior: bucket-overflow ids yield ZERO rows (not
+    garbage), everything within capacity is exact."""
+    n, dim, B = 512, 8, 256
+    plan = PartitionPlan.equal(n, 8)
+    ref = deterministic_rows(n, dim) + 1.0  # strictly positive rows
+    tab = ShardedTable.from_array(mesh8, ref, plan=plan)
+    ids = np.zeros(B, np.int64)  # every id -> shard 0
+    out = np.asarray(tab.gather(put_ids(mesh8, ids), capacity_factor=1.0))
+    zero_rows = (out == 0).all(axis=1)
+    exact_rows = np.isclose(out, ref[0]).all(axis=1)
+    assert (zero_rows | exact_rows).all()
+    assert zero_rows.any() and exact_rows.any()
+    from wholegraph_tpu.ops.gather import gather_overflow
+    dropped = int(gather_overflow(put_ids(mesh8, ids), plan=plan, mesh=mesh8,
+                                  capacity_factor=1.0)[0])
+    assert dropped == int(zero_rows.sum())
