@@ -47,10 +47,23 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     mesh = wg.parallel.create_global_mesh()
     table = wg.ShardedTable.create(mesh, n_rows, dim)  # zeros, on-device
 
+    world = mesh.shape[table.axis]
+    use_pallas3 = (
+        world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
+    )
+
     @jax.jit
     def chain(data, n):
         def body(i, acc):
             ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
+            if use_pallas3:
+                # native tile layout: measures the gather itself without the
+                # artificial [B, d0, 128] -> [B, D] relayout pass
+                from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
+
+                phys = table.plan.physical_index(ids)
+                rows = gather_rows_pallas3(data, phys.astype(jnp.int32))
+                return acc + rows[0, 0, 0]
             rows = wg.ops.gather(
                 data, ids, plan=table.plan, mesh=mesh, axis=table.axis
             )

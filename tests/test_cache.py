@@ -56,3 +56,16 @@ def test_hot_ids_by_degree():
     row_ptr = np.array([0, 10, 11, 30, 31, 33])
     hot = hot_ids_by_degree(row_ptr, 0.4)
     assert set(hot) == {0, 2}
+
+
+def test_refresh_hot_cache(mesh8):
+    from wholegraph_tpu.embedding.cache import refresh_hot_cache
+
+    n, dim = 100, 8
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, ref)
+    cache = build_hot_cache(tab, np.arange(0, n, 2))
+    # mutate the table, then refresh
+    tab2 = ShardedTable.from_array(mesh8, ref * 2)
+    cache2 = refresh_hot_cache(tab2, cache)
+    np.testing.assert_allclose(np.asarray(cache2.values), ref[::2] * 2)

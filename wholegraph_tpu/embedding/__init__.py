@@ -1,3 +1,10 @@
+from .cache import (
+    HotCache,
+    build_hot_cache,
+    gather_with_cache,
+    hot_ids_by_degree,
+    refresh_hot_cache,
+)
 from .embedding import Embedding, EmbeddingState
 from .optimizers import (
     AdaGrad,
@@ -11,6 +18,11 @@ from .optimizers import (
 __all__ = [
     "Embedding",
     "EmbeddingState",
+    "HotCache",
+    "build_hot_cache",
+    "gather_with_cache",
+    "hot_ids_by_degree",
+    "refresh_hot_cache",
     "AdaGrad",
     "LazyAdam",
     "RMSProp",

@@ -72,6 +72,17 @@ def build_hot_cache(table: ShardedTable, hot_ids: np.ndarray) -> HotCache:
     )
 
 
+def refresh_hot_cache(table: ShardedTable, cache: HotCache) -> HotCache:
+    """Re-fill the replica from the current table — the analog of the
+    reference's cache writeback/drop_all maintenance
+    (wholememory_embedding_writeback_cache / drop_all_cache,
+    embedding.h:220-244).  Our cache is read-only so "writeback" is a no-op;
+    refreshing re-captures rows after out-of-band table updates."""
+    import jax as _jax
+
+    return build_hot_cache(table, np.asarray(_jax.device_get(cache.hot_ids)))
+
+
 def hot_ids_by_degree(row_ptr: np.ndarray, ratio: float) -> np.ndarray:
     """Pick the top-ratio highest-degree nodes (the cache_ratio analog,
     embedding.h cache policy)."""

@@ -124,13 +124,16 @@ def scatter_rows_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
-def gather_rows_pallas(
+def _gather_rows_pallas3_impl(
     table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256
 ) -> Array:
-    """out[i] = table[ids[i]] via pipelined row DMAs.
+    """out[i] = table[ids[i]] via pipelined row DMAs, returned in the
+    kernel's native tile layout ``[B, D//128, 128]`` (avoids the ~25% cost
+    of relaying out to a flat [B, D] minor layout; callers that feed a
+    reduction can keep the 3-D form).
 
-    table: [N, D] with D*itemsize a multiple of 512 bytes (lane alignment);
-    ids: [B] int32, B a multiple of id_block.
+    table: [N, D] with D a multiple of 128; ids: [B] int32, B a multiple of
+    id_block.
     """
     B = ids.shape[0]
     N, D = table.shape
@@ -138,7 +141,7 @@ def gather_rows_pallas(
     assert B % id_block == 0, (B, id_block)
     ids = ids.astype(jnp.int32)
     grid = (B // id_block,)
-    out3 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gather_kernel, id_block=id_block, n_inflight=n_inflight),
         grid=grid,
         in_specs=[
@@ -150,4 +153,43 @@ def gather_rows_pallas(
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, table.reshape(N, D // 128, 128))
+
+
+@jax.custom_vjp
+def gather_rows_pallas3(table: Array, ids: Array) -> Array:
+    """Differentiable native-layout gather (default ring parameters);
+    backward = scatter-add of the cotangent rows."""
+    return _gather_rows_pallas3_impl(table, ids)
+
+
+def _g3_fwd(table, ids):
+    return _gather_rows_pallas3_impl(table, ids), (ids, table)
+
+
+def _g3_bwd(res, ct):
+    ids, table = res
+    N, D = table.shape
+    ct2 = ct.reshape(ct.shape[0], D)
+    clipped = jnp.clip(ids, 0, N - 1)
+    dtable = (
+        jnp.zeros((N, D), ct2.dtype)
+        .at[clipped]
+        .add(ct2, mode="drop")
+        .astype(table.dtype)
+    )
+    return dtable, jnp.zeros(ids.shape, jax.dtypes.float0)
+
+
+gather_rows_pallas3.defvjp(_g3_fwd, _g3_bwd)
+
+
+def gather_rows_pallas(
+    table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256
+) -> Array:
+    """Flat-layout wrapper: [B, D] output (one relayout pass over B*D)."""
+    B = ids.shape[0]
+    D = table.shape[1]
+    out3 = _gather_rows_pallas3_impl(
+        table, ids, id_block=id_block, n_inflight=n_inflight
+    )
     return out3.reshape(B, D)

@@ -52,6 +52,33 @@ def padded_reduce(
 
     x: [U, D], nbr_idx/mask: [B, K] → [B, D].
     """
+    B, K = nbr_idx.shape
+    if (
+        reduce in ("sum", "mean")
+        and jax.default_backend() == "tpu"
+        and x.ndim == 2
+        and x.shape[1] % 128 == 0
+        and B * K >= 4096
+    ):
+        # keep the gather in its native [*, d0, 128] tile layout through the
+        # K-reduction: the relayout then touches only [B, D], not [B*K, D]
+        from .gather import _PALLAS_MIN_ROWS  # noqa: F401 (doc link)
+        from .gather_pallas import gather_rows_pallas3
+
+        D = x.shape[1]
+        flat = jnp.clip(nbr_idx.reshape(-1).astype(jnp.int32), 0, x.shape[0] - 1)
+        pad = -flat.shape[0] % 1024
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        neigh3 = gather_rows_pallas3(x, flat)[: B * K]
+        neigh3 = neigh3.reshape(B, K, D // 128, 128)
+        m3 = mask[:, :, None, None]
+        s = jnp.sum(jnp.where(m3, neigh3, 0), axis=1)  # [B, d0, 128]
+        if reduce == "mean":
+            cnt = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(x.dtype)
+            s = s / cnt[:, None, None]
+        return s.reshape(B, D)
+
     neigh = padded_gather_neighbors(x, nbr_idx)  # [B, K, D]
     m = mask[..., None]
     if reduce == "sum":
