@@ -55,3 +55,38 @@ def test_local_take_dispatches_pallas():
     # OOB slots clamp (clip semantics)
     out2 = local_take(table, jnp.full((B,), N + 100, jnp.int32))
     assert float(out2[0, 0]) == 1.0
+
+
+def test_gather_rows_pallas3_and_grad():
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
+
+    N, D, B = 50_000, 256, 2048
+    table = jax.jit(
+        lambda: jnp.arange(N, dtype=jnp.float32)[:, None] * jnp.ones((1, D))
+    )()
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, N, B).astype(np.int32))
+    out3 = gather_rows_pallas3(table, ids)
+    assert out3.shape == (B, D // 128, 128)
+    np.testing.assert_array_equal(
+        np.asarray(out3[:, 0, 0]).astype(np.int64), np.asarray(ids)
+    )
+    # gradient: sum of gathered rows -> table grad counts occurrences
+    g = jax.grad(lambda t: gather_rows_pallas3(t, ids).sum())(table)
+    counts = np.bincount(np.asarray(ids), minlength=N)
+    np.testing.assert_array_equal(np.asarray(g[:, 0]), counts * 1.0)
+
+
+def test_padded_reduce_tpu_fast_path():
+    from wholegraph_tpu.ops.spmm import padded_reduce
+
+    U, D, B, K = 20_000, 256, 512, 10
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(U, D).astype(np.float32))
+    nbr = jnp.asarray(rs.randint(0, U, (B, K)).astype(np.int32))
+    mask = jnp.asarray(rs.rand(B, K) > 0.3)
+    out = np.asarray(padded_reduce(x, nbr, mask, "mean"))
+    xn, nn, mn = np.asarray(x), np.asarray(nbr), np.asarray(mask)
+    for i in range(0, B, 97):
+        sel = xn[nn[i][mn[i]]]
+        e = sel.mean(0) if len(sel) else np.zeros(D)
+        np.testing.assert_allclose(out[i], e, rtol=1e-4, atol=1e-5)
