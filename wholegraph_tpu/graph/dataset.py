@@ -24,7 +24,6 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from ..utils.error import check_input
 
 
 @dataclasses.dataclass

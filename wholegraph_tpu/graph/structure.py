@@ -20,7 +20,7 @@ keeps their slots without colliding with real nodes.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -62,7 +62,6 @@ def padded_reduce(
     ):
         # keep the gather in its native [*, d0, 128] tile layout through the
         # K-reduction: the relayout then touches only [B, D], not [B*K, D]
-        from .gather import _PALLAS_MIN_ROWS  # noqa: F401 (doc link)
         from .gather_pallas import gather_rows_pallas3
 
         D = x.shape[1]
