@@ -90,3 +90,24 @@ def test_padded_reduce_tpu_fast_path():
         sel = xn[nn[i][mn[i]]]
         e = sel.mean(0) if len(sel) else np.zeros(D)
         np.testing.assert_allclose(out[i], e, rtol=1e-4, atol=1e-5)
+
+
+def test_sampler_element_fetch_parity():
+    """The TPU element-fetch fast path must keep the sampler bit-exact vs
+    the host replay (large batch to trigger the pallas path)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from wholegraph_tpu.testing import host_sample_uniform, random_csr
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    row_ptr, col = random_csr(2000, avg_deg=12, seed=1)
+    centers = np.tile(np.arange(1000), 2)[:1024]
+    K = 8  # 1024*8 = 8192 edges -> pallas fetch path
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K, seed=5
+    )
+    h_nbrs, h_mask, _ = host_sample_uniform(row_ptr, col, centers, K, seed=5)
+    np.testing.assert_array_equal(np.asarray(res.mask), h_mask)
+    np.testing.assert_array_equal(
+        np.asarray(res.neighbors) * h_mask, h_nbrs * h_mask
+    )

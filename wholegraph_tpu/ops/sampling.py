@@ -55,6 +55,43 @@ def _fetch(src: TableLike, ids: Array, **kw) -> Array:
     return jnp.take(src, ids, axis=0, mode="clip")
 
 
+def _fetch_elements(src: TableLike, ids: Array, **kw) -> Array:
+    """Element fetch (4-byte values, e.g. col ids) — the sampler hot loop.
+
+    XLA's scalar gather is issue-bound (~13 ns/element on v5e); on TPU large
+    batches instead DMA each element's 128-lane block via the pallas row
+    kernel and lane-select on the VPU (~1.6x; the dedup-skip variant in
+    docs/ROADMAP.md is the next step)."""
+    if (
+        not hasattr(src, "gather")
+        and jax.default_backend() == "tpu"
+        and src.ndim == 1
+        and ids.ndim == 1
+        and ids.shape[0] >= 4096
+    ):
+        from .gather_pallas import _gather_rows_pallas3_impl
+
+        E = src.shape[0]
+        pad_e = -E % 128
+        col2 = src
+        if pad_e:
+            col2 = jnp.concatenate([src, jnp.zeros((pad_e,), src.dtype)])
+        col2 = col2.reshape(-1, 128)
+        idc = jnp.clip(ids.astype(jnp.int32), 0, E - 1)
+        blk = idc >> 7
+        lane = idc & 127
+        M = ids.shape[0]
+        pad_m = -M % 1024
+        if pad_m:
+            blk = jnp.concatenate([blk, jnp.zeros((pad_m,), blk.dtype)])
+        rows = _gather_rows_pallas3_impl(col2, blk)[:M, 0, :]  # [M, 128]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (M, 128), 1) == lane[:, None]
+        )
+        return jnp.sum(jnp.where(onehot, rows, 0), axis=1).astype(src.dtype)
+    return _fetch(src, ids, **kw)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SampleResult:
@@ -220,6 +257,6 @@ def csr_sample_neighbors(
 
     edge_ids = start[:, None] + pos
     flat = jnp.where(mask, edge_ids, 0).reshape(-1)
-    nbrs = _fetch(col, flat, **kw).reshape(edge_ids.shape).astype(jnp.int32)
+    nbrs = _fetch_elements(col, flat, **kw).reshape(edge_ids.shape).astype(jnp.int32)
     nbrs = jnp.where(mask, nbrs, -1)
     return SampleResult(nbrs, mask, pos, edge_ids, deg)
