@@ -94,8 +94,7 @@ class GCNConv(nn.Module):
         if isinstance(g, HopSubgraph):
             deg = jnp.sum(g.mask, axis=1) + 1  # + self loop
             inv = jax.lax.rsqrt(deg.astype(h.dtype))
-            msgs = S.padded_gather_neighbors(h, g.nbr_idx)  # [B, K, D]
-            agg = jnp.sum(jnp.where(g.mask[..., None], msgs, 0), axis=1)
+            agg = S.padded_reduce(h, g.nbr_idx, g.mask, "sum")
             out = (agg + h[: g.num_targets]) * inv[:, None] * inv[:, None]
         else:
             ones = jnp.ones((g.edge_src.shape[0],), h.dtype)
