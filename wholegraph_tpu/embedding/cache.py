@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..memory.sharded_table import ShardedTable
-from ..ops.gather import _bucket_cap, _gather_shard_a2a
+from ..ops.gather import _bucket_cap, _gather_shard_a2a, index_dtype as _index_dtype
 from ..utils.error import check_input
 
 Array = jax.Array
@@ -105,7 +105,7 @@ def _gather_cached_shard(
     """Per-device cached gather: serve hits from the replica, pack misses
     into a cold buffer, exchange only the cold buffer."""
     B = ids.shape[0]
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = _index_dtype(plan)
     ids = ids.astype(idt)
     pos = jnp.searchsorted(hot_ids.astype(idt), ids)
     posc = jnp.minimum(pos, hot_ids.shape[0] - 1)

@@ -35,7 +35,12 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..memory.partition import PartitionPlan
-from ..ops.gather import _bucket_cap, bucket_by_owner, gather as _gather_rows
+from ..ops.gather import (
+    _bucket_cap,
+    bucket_by_owner,
+    gather as _gather_rows,
+    index_dtype as _index_dtype,
+)
 from ..utils.error import check_input
 from .optimizers import SGD, SparseOptimizer
 
@@ -77,7 +82,7 @@ def _apply_grad_shard(
 ):
     """Per-device gradient apply (embedding.cpp:146-300 analog)."""
     world = plan.world
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = _index_dtype(plan)
     ids = ids.astype(idt)
     oob = jnp.asarray(plan.n, idt)
 

@@ -49,6 +49,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def index_dtype(plan: PartitionPlan):
+    """int32 index dtype with an explicit guard: with jax x64 disabled an
+    int64 fallback would silently truncate, so tables past 2^31 physical
+    rows must be partitioned further (each shard indexes locally)."""
+    if plan.total_physical_rows >= 2**31:
+        raise NotImplementedError(
+            f"table has {plan.total_physical_rows} physical rows >= 2^31; "
+            "x64 is disabled — use more shards or a hierarchy mesh"
+        )
+    return jnp.int32
+
+
 # ---------------------------------------------------------------------------
 # Local take / write (single-shard hot loop)
 # ---------------------------------------------------------------------------
@@ -167,7 +179,7 @@ def _gather_shard_a2a(
     """Per-device distributed gather: bucket → a2a ids → local take → a2a rows
     → un-permute (gather_op_impl_nccl.cu:101-170 analog)."""
     world = plan.world
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = index_dtype(plan)
     ids = ids.astype(idt)
     oob = jnp.asarray(plan.n, idt)  # sentinel: one past the last logical row
     owner = plan.owner(ids)
@@ -207,7 +219,7 @@ def _scatter_shard_a2a(
 ):
     """Per-device distributed scatter (scatter_op_impl_nccl.cu analog)."""
     world = plan.world
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = index_dtype(plan)
     ids = ids.astype(idt)
     oob = jnp.asarray(plan.n, idt)
     owner = plan.owner(ids)
@@ -292,7 +304,7 @@ def _gather_shard_hierarchy(
     gather_op_impl_hierarchy.cu:34-154): route requests to the owning NODE
     along the cross-node axis (same device column, i.e. DCN), then run the
     flat exchange within the node along the device axis (ICI)."""
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = index_dtype(plan)
     ids = ids.astype(idt)
     B = ids.shape[0]
     oob = jnp.asarray(plan.n, idt)
@@ -375,7 +387,7 @@ def _gather_shard_ragged(
     world = plan.world
     me = lax.axis_index(axis)
     B = ids.shape[0]
-    idt = jnp.int32 if plan.total_physical_rows < 2**31 else jnp.int64
+    idt = index_dtype(plan)
     ids = ids.astype(idt)
     owner = plan.owner(ids)
     order = jnp.argsort(owner, stable=True)
