@@ -127,3 +127,27 @@ def test_embedding_save_load(mesh8, tmp_path):
             emb.slot_to_array(state2, k), emb.slot_to_array(state, k)
         )
     assert int(state2.step) == int(state.step) == 1
+
+
+def test_sharded_table_from_filelist(mesh8, tmp_path):
+    arr = deterministic_rows(150, 8)
+    p = str(tmp_path / "t.bin")
+    arr.tofile(p)
+    tab = ShardedTable.from_filelist(mesh8, [p], 8, np.float32)
+    np.testing.assert_allclose(tab.to_array(), arr)
+
+
+def test_embedding_from_filelist(mesh8, tmp_path):
+    n, dim = 96, 8
+    arr = deterministic_rows(n, dim)
+    p = str(tmp_path / "e.bin")
+    arr.tofile(p)
+    emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.LazyAdam())
+    state = emb.from_filelist([p])
+    np.testing.assert_allclose(emb.to_array(state), arr)
+    assert set(state.slots) == {"m", "v"}
+    # round-robin variant needs a matching plan
+    rr_plan = PartitionPlan.round_robin(n, 8, 4)
+    emb_rr = Embedding.create(mesh8, n, dim, plan=rr_plan)
+    state_rr = emb_rr.from_filelist([p], round_robin_size=4)
+    np.testing.assert_allclose(emb_rr.to_array(state_rr), arr)

@@ -249,6 +249,32 @@ class Embedding:
         }
         return EmbeddingState(table, slots, jnp.zeros((), jnp.int32))
 
+    def from_filelist(
+        self, filelist, *, round_robin_size: int = 0
+    ) -> EmbeddingState:
+        """Build state by loading a binary filelist into the table
+        (create_embedding_from_filelist analog, torch/embedding.py:462)."""
+        from ..io.file_io import load_filelist
+
+        tab = load_filelist(
+            filelist,
+            self.mesh,
+            self.dim,
+            np.dtype(self.dtype),
+            axis=self.axis,
+            plan=self.plan if not round_robin_size else None,
+            round_robin_size=round_robin_size,
+            expected_rows=self.plan.n,
+        )
+        check_input(tab.plan == self.plan, "loaded plan != embedding plan")
+        zeros_sharding = self._sharding
+        make_z = jax.jit(
+            lambda: jnp.zeros((self.plan.total_physical_rows, self.dim), jnp.float32),
+            out_shardings=zeros_sharding,
+        )
+        slots = {n: make_z() for n in self.optimizer.slot_names}
+        return EmbeddingState(tab.data, slots, jnp.zeros((), jnp.int32))
+
     # -- forward --------------------------------------------------------------
 
     def gather(self, state: EmbeddingState, ids: Array, **kw) -> Array:

@@ -175,6 +175,26 @@ class ShardedTable:
         data = jax.device_put(phys, NamedSharding(mesh, spec, memory_kind=kind))
         return ShardedTable(data, plan, mesh, axis)
 
+    @staticmethod
+    def from_filelist(
+        mesh: Mesh,
+        filelist,
+        dim: int,
+        dtype,
+        *,
+        axis: str = "data",
+        plan: Optional[PartitionPlan] = None,
+        round_robin_size: int = 0,
+    ) -> "ShardedTable":
+        """Load a binary filelist (tensor.from_filelist analog,
+        torch/tensor.py:155)."""
+        from ..io.file_io import load_filelist
+
+        return load_filelist(
+            filelist, mesh, dim, dtype, axis=axis, plan=plan,
+            round_robin_size=round_robin_size,
+        )
+
     # -- access ---------------------------------------------------------------
 
     def gather(self, ids, **kw) -> Array:
