@@ -111,3 +111,20 @@ def test_sampler_element_fetch_parity():
     np.testing.assert_array_equal(
         np.asarray(res.neighbors) * h_mask, h_nbrs * h_mask
     )
+
+
+def test_gather_rows_pallas_bf16():
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas
+
+    N, D, B = 60_000, 256, 2048
+    table = jax.jit(
+        lambda: (jnp.arange(N, dtype=jnp.float32)[:, None] % 256 * jnp.ones((1, D))).astype(
+            jnp.bfloat16
+        )
+    )()
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, N, B).astype(np.int32))
+    out = gather_rows_pallas(table, ids)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 0]).astype(np.int64), np.asarray(ids) % 256
+    )

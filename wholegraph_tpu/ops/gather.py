@@ -469,7 +469,7 @@ def _build_gather_fn(plan, mesh, axis, method, cap):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_scatter_fn(plan, mesh, axis, cap, accumulate):
+def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate):
     body = functools.partial(
         _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate
     )
@@ -480,7 +480,8 @@ def _build_scatter_fn(plan, mesh, axis, cap, accumulate):
             in_specs=(P(axis, None), P(axis), P(axis, None)),
             out_specs=P(axis, None),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0,) if donate else (),
     )
 
 
@@ -608,12 +609,14 @@ def scatter(
     axis: str = "data",
     accumulate: bool = False,
     capacity_factor: float = 2.0,
+    donate: bool = False,
 ) -> Array:
     """Scatter rows into a row-sharded table by logical id; returns new table.
 
     Duplicate ids: with ``accumulate=False`` the winning writer is unspecified
     (same caveat as the reference scatter); with ``accumulate=True`` all
-    contributions sum.
+    contributions sum.  ``donate=True`` updates the table buffer in place
+    (no double-buffering of a huge table; the input array becomes invalid).
     """
     world = plan.world
     check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
@@ -626,7 +629,7 @@ def scatter(
     if data.ndim == 1:
         out = scatter(
             data[:, None], ids, rows[:, None], plan=plan, mesh=mesh, axis=axis,
-            accumulate=accumulate, capacity_factor=capacity_factor,
+            accumulate=accumulate, capacity_factor=capacity_factor, donate=donate,
         )
         return out[:, 0]
 
@@ -634,5 +637,5 @@ def scatter(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
     cap = _bucket_cap(B_local, world, capacity_factor)
-    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate)
+    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate)
     return fn(data, ids, rows)
