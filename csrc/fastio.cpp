@@ -99,25 +99,48 @@ int wgtpu_read_rows(const char** paths, int nfiles, const int64_t* file_starts,
   return 0;
 }
 
-// Write rows to a file (store_to_file analog): plain sequential write.
+// Write a buffer to a file (store_to_file analog,
+// reference file_io.cpp store path): pre-sized with ftruncate, byte range
+// split across POSIX threads with pwrite(2) — the multithread-write twin of
+// wgtpu_read_rows.
 int wgtpu_write_rows(const char* path, const unsigned char* data,
-                     int64_t nbytes) {
+                     int64_t nbytes, int nthreads) {
   int fd = open(path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
   if (fd < 0) return errno;
-  const unsigned char* src = data;
-  int64_t left = nbytes;
-  while (left > 0) {
-    ssize_t put = write(fd, src, static_cast<size_t>(left));
-    if (put < 0) {
-      if (errno == EINTR) continue;
-      int e = errno;
-      close(fd);
-      return e;
-    }
-    src += put;
-    left -= put;
+  if (ftruncate(fd, nbytes) != 0) {
+    int e = errno;
+    close(fd);
+    return e;
   }
+  if (nthreads < 1) nthreads = 1;
+  int64_t per = (nbytes + nthreads - 1) / nthreads;
+  std::vector<std::thread> threads;
+  std::vector<int> rcs(nthreads, 0);
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = std::min(nbytes, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back([fd, data, lo, hi, &rcs, t]() {
+      const unsigned char* src = data + lo;
+      int64_t off = lo;
+      int64_t left = hi - lo;
+      while (left > 0) {
+        ssize_t put = pwrite(fd, src, static_cast<size_t>(left), off);
+        if (put < 0) {
+          if (errno == EINTR) continue;
+          rcs[t] = errno;
+          return;
+        }
+        src += put;
+        off += put;
+        left -= put;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
   close(fd);
+  for (int rc : rcs)
+    if (rc != 0) return rc;
   return 0;
 }
 

@@ -142,12 +142,20 @@ def load_filelist(
 def store_table(table: ShardedTable, path_prefix: str) -> List[str]:
     """Write each shard's owned rows to ``{prefix}_part_{s}_of_{W}``
     (wholememory_store_to_file analog; per-rank shard files as in
-    WholeMemoryEmbedding.save, torch/embedding.py:358-377)."""
+    WholeMemoryEmbedding.save, torch/embedding.py:358-377).  Uses the native
+    threaded writer (csrc/fastio.cpp wgtpu_write_rows) when built."""
+    try:
+        from .native import write_rows_native
+    except Exception:  # pragma: no cover
+        write_rows_native = None
     paths = []
     for s in range(table.plan.world):
         shard = table.local_shard(s)
         p = f"{path_prefix}_part_{s}_of_{table.plan.world}"
-        shard.tofile(p)
+        if write_rows_native is not None:
+            write_rows_native(p, shard)
+        else:
+            shard.tofile(p)
         paths.append(p)
     return paths
 

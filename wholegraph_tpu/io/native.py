@@ -1,23 +1,42 @@
-"""ctypes binding for the native fast file reader (csrc/fastio.cpp).
+"""ctypes binding for the native fast file reader/writer (csrc/fastio.cpp).
 
-Built by ``make -C csrc`` into wholegraph_tpu/lib/libwgtpu_io.so; the Python
-loader (file_io.py) falls back to pure-numpy reads when the library is
-absent.  This mirrors the reference's split between the plain loader and the
-multi-threaded native loaders (file_io.cpp:413-1121).
+Built on demand by ``make -C csrc`` into wholegraph_tpu/lib/libwgtpu_io.so
+(the binary is not committed; this module builds it at first import if a
+toolchain is present).  The Python loader (file_io.py) falls back to
+pure-numpy reads/writes when the library can't be built.  This mirrors the
+reference's split between the plain loader and the multi-threaded native
+loaders (file_io.cpp:413-1121).
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from typing import Sequence
 
 import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "lib", "libwgtpu_io.so")
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 
-if not os.path.exists(_LIB_PATH):  # pragma: no cover
-    raise ImportError(f"native io library not built: {_LIB_PATH}")
+
+def _build() -> None:
+    src = os.path.join(_CSRC, "fastio.cpp")
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+        return
+    subprocess.run(
+        ["make", "-C", _CSRC],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+
+
+try:  # pragma: no cover - exercised indirectly
+    _build()
+except Exception as e:
+    raise ImportError(f"native io library not built: {e}") from e
 
 _lib = ctypes.CDLL(_LIB_PATH)
 _lib.wgtpu_read_rows.restype = ctypes.c_int
@@ -29,6 +48,14 @@ _lib.wgtpu_read_rows.argtypes = [
     ctypes.c_int64,
     ctypes.c_int64,
     ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.c_int,
+]
+
+_lib.wgtpu_write_rows.restype = ctypes.c_int
+_lib.wgtpu_write_rows.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.c_int64,
     ctypes.c_int,
 ]
 
@@ -63,3 +90,17 @@ def read_rows_native(
     )
     if rc != 0:
         raise OSError(rc, f"native read failed: {os.strerror(rc)}")
+
+
+def write_rows_native(path: str, data: np.ndarray, nthreads: int = DEFAULT_THREADS) -> None:
+    """Write a host array to ``path`` with threaded pwrite (the store_to_file
+    analog; reference file_io.cpp store/multithread variants)."""
+    flat = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    rc = _lib.wgtpu_write_rows(
+        path.encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        flat.size,
+        nthreads,
+    )
+    if rc != 0:
+        raise OSError(rc, f"native write failed: {os.strerror(rc)}")

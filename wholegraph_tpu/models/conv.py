@@ -83,7 +83,11 @@ class SAGEConv(nn.Module):
 
 
 class GCNConv(nn.Module):
-    """GCN conv with symmetric degree normalisation and implicit self loop."""
+    """GCN conv, symmetric ``D^-1/2 A D^-1/2`` normalisation with implicit
+    self loop.  On a sampled ``HopSubgraph`` the degrees are the *block*
+    degrees (dst in-degree and src out-degree within the sampled bipartite
+    block, DGL GraphConv block semantics) — an approximation of the
+    full-graph degrees that converges as fanout covers the neighborhood."""
 
     out_dim: int
     use_bias: bool = True
@@ -92,10 +96,22 @@ class GCNConv(nn.Module):
     def __call__(self, x: Array, g: Adj) -> Array:
         h = nn.Dense(self.out_dim, use_bias=False, name="proj")(x)
         if isinstance(g, HopSubgraph):
-            deg = jnp.sum(g.mask, axis=1) + 1  # + self loop
-            inv = jax.lax.rsqrt(deg.astype(h.dtype))
-            agg = S.padded_reduce(h, g.nbr_idx, g.mask, "sum")
-            out = (agg + h[: g.num_targets]) * inv[:, None] * inv[:, None]
+            B = g.num_targets
+            deg_dst = jnp.sum(g.mask, axis=1) + 1  # in-degree + self loop
+            # out-degree of each source row within the block (+1 self loop
+            # for target rows, which are the prefix of x)
+            flat = jnp.where(g.mask, g.nbr_idx, x.shape[0]).reshape(-1)
+            deg_src = (
+                jnp.zeros((x.shape[0],), h.dtype)
+                .at[flat]
+                .add(1.0, mode="drop")
+                .at[jnp.arange(B)]
+                .add(1.0)
+            )
+            inv_src = jax.lax.rsqrt(jnp.maximum(deg_src, 1.0))
+            inv_dst = jax.lax.rsqrt(deg_dst.astype(h.dtype))
+            agg = S.padded_reduce(h * inv_src[:, None], g.nbr_idx, g.mask, "sum")
+            out = (agg + (h * inv_src[:, None])[:B]) * inv_dst[:, None]
         else:
             ones = jnp.ones((g.edge_src.shape[0],), h.dtype)
             deg = (

@@ -45,15 +45,18 @@ def append_unique(targets: Array, neighbors: Array, neighbor_mask: Array):
     M = neighbors.shape[0]
     bound = T + M
 
-    tgt64 = targets.astype(jnp.int64)
-    nbr64 = jnp.where(neighbor_mask, neighbors.astype(jnp.int64), _SENTINEL)
-    arr = jnp.concatenate([tgt64, nbr64])
+    tgt = targets.astype(jnp.int32)
+    nbr = jnp.where(neighbor_mask, neighbors.astype(jnp.int32), _SENTINEL)
+    arr = jnp.concatenate([tgt, nbr])
     is_tgt = jnp.concatenate(
         [jnp.ones((T,), jnp.int32), jnp.zeros((M,), jnp.int32)]
     )
 
-    # sort by (id, target-first); key fits in int64 for int32 ids
-    key = arr * 2 + (1 - is_tgt)
+    # sort by (id, target-first).  The key is built in uint32 — ids are
+    # non-negative int32, so ``id << 1 | bit`` fits exactly in 32 unsigned
+    # bits (the int32-max sentinel maps to 0xFFFFFFFF and sorts last); an
+    # int32/int64 key would overflow/truncate here with jax x64 disabled.
+    key = (arr.astype(jnp.uint32) << 1) | (1 - is_tgt).astype(jnp.uint32)
     order = jnp.argsort(key)
     sid = arr[order]
     stgt = is_tgt[order]
