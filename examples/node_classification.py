@@ -157,7 +157,9 @@ def main():
         updates, opt_state = dense_opt.update(dp, opt_state, params)
         params = optax.apply_updates(params, updates)
         if train_emb:
-            estate = emb.apply_gradients(estate, ids, dr, args.lr * 0.1)
+            estate = emb.apply_gradients(
+                estate, ids, dr, args.lr * 0.1, mask=ml.unique_mask
+            )
         return params, estate, opt_state, loss, accuracy(logits, labels)
 
     train_step = functools.partial(jax.jit, donate_argnums=(1,))(_train_body)

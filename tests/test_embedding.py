@@ -180,6 +180,62 @@ def test_training_reduces_loss(mesh8):
     assert losses[-1] < losses[0] * 0.2, losses[::10]
 
 
+@pytest.mark.parametrize("opt", [emb_mod.SGD(weight_decay=0.01), emb_mod.LazyAdam()],
+                         ids=["sgd", "lazy_adam"])
+def test_apply_gradients_exact_under_full_skew(mesh8, opt):
+    """EXACT apply path: a batch whose unique ids all live on one shard
+    (maximal bucket overflow) loses nothing — matches the host replay, like
+    the reference's dynamic alltoallv (embedding.cpp gather_gradient_apply
+    never drops).  With local pre-dedup each device contributes one entry
+    per unique id, so the common per-round dedup applies each optimizer step
+    once with the full summed gradient."""
+    n, dim, B = 512, 8, 256
+    emb = Embedding.create(mesh8, n, dim, optimizer=opt)
+    init = deterministic_rows(n, dim)
+    state = emb.from_array(init)
+    rng = np.random.RandomState(7)
+    # ids restricted to shard 0's rows [0, 64): every bucket targets owner 0
+    ids = rng.randint(0, 64, B).astype(np.int64)
+    grads = rng.randn(B, dim).astype(np.float32)
+    state = emb.apply_gradients(
+        state, put(mesh8, ids, P("data")), put(mesh8, grads, P("data", None)), 0.1,
+        capacity_factor=1.0,
+    )
+    ref_table, _ = host_apply(
+        opt, init.astype(np.float64).copy(),
+        {k: np.zeros((n, dim), np.float64) for k in opt.slot_names},
+        ids, grads, 1, 0.1,
+    )
+    np.testing.assert_allclose(emb.to_array(state), ref_table, rtol=2e-5, atol=2e-5)
+
+
+def test_apply_gradients_mask_excludes_padding(mesh8):
+    """Padding slots (mask=False) must not touch any row's optimizer state —
+    the id-0 spurious-momentum bug (ADVICE r1): masked ids map to the OOB
+    sentinel and are dropped before bucketing."""
+    n, dim = 128, 8
+    opt = emb_mod.LazyAdam()
+    emb = Embedding.create(mesh8, n, dim, optimizer=opt)
+    init = deterministic_rows(n, dim)
+    state = emb.from_array(init)
+    # slots: half valid (row 5), half padding pointing at id 0
+    ids = np.array([5] * 32 + [0] * 32, dtype=np.int64)
+    mask = np.array([True] * 32 + [False] * 32)
+    grads = np.ones((64, dim), np.float32)
+    state = emb.apply_gradients(
+        state,
+        put(mesh8, ids, P("data")),
+        put(mesh8, grads, P("data", None)),
+        0.1,
+        mask=put(mesh8, mask, P("data")),
+    )
+    out = emb.to_array(state)
+    m = emb.slot_to_array(state, "m")
+    np.testing.assert_allclose(out[0], init[0])  # row 0 untouched
+    assert np.allclose(m[0], 0)  # no momentum leaked into row 0
+    assert not np.allclose(out[5], init[5])  # the real id trained
+
+
 def test_make_train_step(mesh8):
     n, dim, B = 64, 8, 64
     emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.LazyAdam())

@@ -216,15 +216,37 @@ def test_create_matrix(mesh8, plan_kind, location):
     np.testing.assert_allclose(tab.to_array(), ref)
 
 
-def test_gather_capacity_drop_semantics(mesh8):
-    """Documented drop behavior: bucket-overflow ids yield ZERO rows (not
-    garbage), everything within capacity is exact."""
+def test_gather_exact_under_full_skew(mesh8):
+    """The default method is EXACT: a batch whose ids ALL live on one shard
+    (maximal bucket overflow) returns every row correctly, zero drops — the
+    reference alltoallv semantics (gather_op_impl_nccl.cu:101-170 never
+    drops), here via extra exchange rounds."""
     n, dim, B = 512, 8, 256
     plan = PartitionPlan.equal(n, 8)
     ref = deterministic_rows(n, dim) + 1.0  # strictly positive rows
     tab = ShardedTable.from_array(mesh8, ref, plan=plan)
     ids = np.zeros(B, np.int64)  # every id -> shard 0
     out = np.asarray(tab.gather(put_ids(mesh8, ids), capacity_factor=1.0))
+    np.testing.assert_allclose(out, np.broadcast_to(ref[0], (B, dim)), rtol=1e-6)
+    # mixed skew: ids concentrated on two shards plus a uniform tail
+    rs = np.random.RandomState(3)
+    ids2 = np.where(rs.rand(B) < 0.8, rs.randint(0, 128, B), rs.randint(0, n, B))
+    out2 = np.asarray(tab.gather(put_ids(mesh8, ids2), capacity_factor=1.0))
+    np.testing.assert_allclose(out2, ref[ids2], rtol=1e-6)
+
+
+def test_gather_capped_drop_semantics(mesh8):
+    """Opt-in capped fast path: bucket-overflow ids yield ZERO rows (not
+    garbage), everything within capacity is exact, and gather_overflow
+    predicts the drop count."""
+    n, dim, B = 512, 8, 256
+    plan = PartitionPlan.equal(n, 8)
+    ref = deterministic_rows(n, dim) + 1.0  # strictly positive rows
+    tab = ShardedTable.from_array(mesh8, ref, plan=plan)
+    ids = np.zeros(B, np.int64)  # every id -> shard 0
+    out = np.asarray(
+        tab.gather(put_ids(mesh8, ids), method="a2a_capped", capacity_factor=1.0)
+    )
     zero_rows = (out == 0).all(axis=1)
     exact_rows = np.isclose(out, ref[0]).all(axis=1)
     assert (zero_rows | exact_rows).all()
@@ -233,3 +255,25 @@ def test_gather_capacity_drop_semantics(mesh8):
     dropped = int(gather_overflow(put_ids(mesh8, ids), plan=plan, mesh=mesh8,
                                   capacity_factor=1.0)[0])
     assert dropped == int(zero_rows.sum())
+
+
+def test_scatter_exact_under_full_skew(mesh8):
+    """Exact scatter: accumulate=True sums every contribution exactly once
+    even when all ids target one shard (multi-round delivery)."""
+    n, dim, B = 512, 8, 256
+    plan = PartitionPlan.equal(n, 8)
+    tab = ShardedTable.create(mesh8, n, dim, plan=plan)
+    ids = np.zeros(B, np.int64)
+    rows = np.ones((B, dim), np.float32)
+    out = tab.scatter(
+        put_ids(mesh8, ids),
+        jax.device_put(
+            jnp.asarray(rows),
+            NamedSharding(mesh8, P("data", None)),
+        ),
+        accumulate=True,
+        capacity_factor=1.0,
+    )
+    got = out.to_array()
+    assert got[0, 0] == B  # all B contributions landed
+    assert (got[1:] == 0).all()

@@ -66,56 +66,30 @@ class EmbeddingState:
         return cls(table, dict(zip(names, slot_vals)), step)
 
 
-def _apply_grad_shard(
-    shard: Array,
-    slot_shards: tuple,
-    ids: Array,
-    grads: Array,
-    step: Array,
-    lr: Array,
-    *,
-    plan: PartitionPlan,
-    axis: str,
-    cap: int,
-    opt: SparseOptimizer,
-    slot_names: tuple,
-):
-    """Per-device gradient apply (embedding.cpp:146-300 analog)."""
-    world = plan.world
-    idt = _index_dtype(plan)
-    ids = ids.astype(idt)
-    oob = jnp.asarray(plan.n, idt)
-
-    if world > 1:
-        owner = plan.owner(ids)
-        bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
-        pos = src_pos.reshape(world * cap)
-        grad_bucket = jnp.take(
-            grads, jnp.where(pos >= 0, pos, grads.shape[0]), axis=0, mode="fill", fill_value=0
-        )
-        recv_ids = lax.all_to_all(
-            bucket, axis, split_axis=0, concat_axis=0, tiled=True
-        ).reshape(world * cap)
-        recv_grads = lax.all_to_all(
-            grad_bucket.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
-        ).reshape(world * cap, -1)
-    else:
-        recv_ids, recv_grads = ids, grads
-
-    R = recv_ids.shape[0]
-    # --- dedup: sort by id, segment-sum duplicate gradients ---
-    order = jnp.argsort(recv_ids)
-    sids = recv_ids[order]
-    sgrads = recv_grads[order].astype(jnp.float32)
+def _dedup_sorted(ids: Array, grads: Array, oob) -> tuple:
+    """Sort (ids, grads) by id and segment-sum duplicates.  Returns
+    (unique_ids, summed_grads) padded with ``oob`` / zero rows
+    (dedup_indice_and_gradients analog, embedding.cpp:261-269)."""
+    R = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sgrads = grads[order].astype(jnp.float32)
     valid_row = sids < oob
     sgrads = jnp.where(valid_row[:, None], sgrads, 0.0)
     leader = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]]) & valid_row
     seg = jnp.maximum(jnp.cumsum(leader) - 1, 0)
     seg_grads = jax.ops.segment_sum(sgrads, seg, num_segments=R)
     uids = jax.ops.segment_min(sids, seg, num_segments=R)
-    valid = uids < oob
+    return uids, seg_grads
 
-    # --- sparse optimizer step on touched local rows ---
+
+def _optimizer_step(
+    shard, slot_shards, uids, seg_grads, step, lr, *, plan, opt, slot_names
+):
+    """Sparse optimizer step on the touched local rows (ids are logical ids
+    owned by this shard; entries >= plan.n are padding)."""
+    oob = jnp.asarray(plan.n, uids.dtype)
+    valid = uids < oob
     slots_local = plan.local_slot(jnp.where(valid, uids, 0))
     take_idx = jnp.where(valid, slots_local, 0)
     prow = jnp.take(shard, take_idx, axis=0).astype(jnp.float32)
@@ -132,6 +106,103 @@ def _apply_grad_shard(
         for n, s in zip(slot_names, slot_shards)
     )
     return shard, new_slot_shards
+
+
+def _apply_grad_shard(
+    shard: Array,
+    slot_shards: tuple,
+    ids: Array,
+    grads: Array,
+    mask: Array,
+    step: Array,
+    lr: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    cap: int,
+    opt: SparseOptimizer,
+    slot_names: tuple,
+):
+    """Per-device gradient apply (embedding.cpp:146-300 analog).
+
+    Flow: mask padding → local dedup (sort + segment-sum, so duplicates
+    never consume exchange capacity) → EXACT multi-round bucket exchange,
+    with each receiver merging the rounds' (id, grad) pairs into a pending
+    accumulator (sorted-merge + segment-sum) → ONE sparse optimizer step per
+    unique id with its full summed gradient.  This matches the reference's
+    dynamic-alltoallv-then-dedup semantics exactly for every optimizer: the
+    pending buffer is statically sized at the global batch (the receiver's
+    provable worst case — also what the reference's dynamic recv allocation
+    pays under the same skew), rounds only add exchange volume, never
+    precision loss or drops.
+    """
+    world = plan.world
+    idt = _index_dtype(plan)
+    ids = ids.astype(idt)
+    oob = jnp.asarray(plan.n, idt)
+    ids = jnp.where(mask & (ids >= 0) & (ids < oob), ids, oob)
+
+    # --- local pre-dedup: one contribution per unique id per device ---
+    uids_l, ugrads_l = _dedup_sorted(ids, grads, oob)
+
+    if world == 1:
+        return _optimizer_step(
+            shard, slot_shards, uids_l, ugrads_l, step, lr,
+            plan=plan, opt=opt, slot_names=slot_names,
+        )
+
+    owner0 = jnp.where(
+        uids_l < oob, plan.owner(jnp.where(uids_l < oob, uids_l, 0)), world
+    ).astype(jnp.int32)
+
+    B_local = ids.shape[0]
+    P = world * B_local  # receiver worst case: every global batch id is mine
+    pend_ids = jnp.full((P,), oob, idt)
+    pend_grads = jnp.zeros((P, grads.shape[1]), jnp.float32)
+
+    def one_round(pend_ids, pend_grads, delivered):
+        owner_eff = jnp.where(delivered, world, owner0)
+        bucket, src_pos = bucket_by_owner(uids_l, owner_eff, world, cap, oob)
+        pos = src_pos.reshape(world * cap)
+        safe_pos = jnp.where(pos >= 0, pos, ugrads_l.shape[0])
+        grad_bucket = jnp.take(ugrads_l, safe_pos, axis=0, mode="fill", fill_value=0)
+        recv_ids = lax.all_to_all(
+            bucket, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(world * cap)
+        recv_grads = lax.all_to_all(
+            grad_bucket.reshape(world, cap, -1), axis, split_axis=0,
+            concat_axis=0, tiled=True,
+        ).reshape(world * cap, -1)
+        # merge into pending: unique valid ids across all rounds <= P, and
+        # _dedup_sorted packs them (ascending) into the prefix, so the
+        # truncation back to P never discards a valid id
+        m_ids, m_grads = _dedup_sorted(
+            jnp.concatenate([pend_ids, recv_ids]),
+            jnp.concatenate([pend_grads, recv_grads.astype(jnp.float32)]),
+            oob,
+        )
+        delivered = delivered.at[safe_pos].set(True, mode="drop")
+        return m_ids[:P], m_grads[:P], delivered
+
+    def remaining(delivered):
+        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
+
+    delivered = uids_l >= oob  # padding needs no delivery
+    pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
+
+    def body(state):
+        pend_ids, pend_grads, delivered = state[0], state[1], state[2]
+        pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
+        return pend_ids, pend_grads, delivered, remaining(delivered)
+
+    pend_ids, pend_grads, delivered, _ = lax.while_loop(
+        lambda s: s[3] > 0, body,
+        (pend_ids, pend_grads, delivered, remaining(delivered)),
+    )
+    return _optimizer_step(
+        shard, slot_shards, pend_ids, pend_grads, step, lr,
+        plan=plan, opt=opt, slot_names=slot_names,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,6 +230,7 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
                 tuple(P(emb.axis, None) for _ in slot_names),
                 P(emb.axis),
                 P(emb.axis, None),
+                P(emb.axis),
                 P(),
                 P(),
             ),
@@ -292,13 +364,18 @@ class Embedding:
         grads: Array,
         lr,
         *,
+        mask: Optional[Array] = None,
         capacity_factor: float = 2.0,
     ) -> EmbeddingState:
         """Sparse update from (ids, row-gradients)
         (wholememory_embedding_gather_gradient_apply analog, embedding.cpp:1083).
 
-        ids/grads are sharded over the mesh axis like a gather batch; duplicate
-        ids — within and across devices — are deduplicated with summed grads.
+        ids/grads are sharded over the mesh axis like a gather batch.
+        Duplicate ids — within and across devices — are deduplicated with
+        summed grads; the exchange is EXACT (multi-round, no drops — see
+        :func:`wholegraph_tpu.ops.gather.gather`'s 'a2a' method).  ``mask``
+        marks valid slots: masked-out ids (e.g. sampling padding) are
+        excluded entirely, so padding never touches row 0's optimizer state.
 
         The input state's table and slot buffers are DONATED (updated in
         place; no double-buffering of the sharded table) — do not reuse the
@@ -309,6 +386,8 @@ class Embedding:
         lr = jnp.asarray(lr, jnp.float32)
         slot_names = tuple(sorted(state.slots))
         slot_vals = tuple(state.slots[n] for n in slot_names)
+        if mask is None:
+            mask = jnp.ones(ids.shape, bool)
 
         if world == 1:
             cap = 0
@@ -318,7 +397,7 @@ class Embedding:
             cap = _bucket_cap(B_global // world, world, capacity_factor)
 
         fn = _build_apply_fn(self, cap, slot_names)
-        table, new_slots = fn(state.table, slot_vals, ids, grads, step, lr)
+        table, new_slots = fn(state.table, slot_vals, ids, grads, mask, step, lr)
         return EmbeddingState(table, dict(zip(slot_names, new_slots)), step)
 
     # -- training convenience -------------------------------------------------
@@ -330,15 +409,18 @@ class Embedding:
 
             loss_fn(rows, *batch) -> scalar loss
 
-        returns ``step(state, ids, *batch) -> (state, loss)`` where the rows
-        for ``ids`` are gathered, differentiated, and the row-gradients
-        applied sparsely."""
+        returns ``step(state, ids, *batch, mask=None) -> (state, loss)`` where
+        the rows for ``ids`` are gathered, differentiated, and the
+        row-gradients applied sparsely; ``mask`` (e.g. a sampler's
+        ``unique_mask``) excludes padding slots from the sparse update."""
         gkw = gather_kwargs or {}
 
-        def step(state, ids, *batch):
+        def step(state, ids, *batch, mask=None):
             rows = self.gather(state, ids, **gkw)
+            if mask is not None:
+                rows = rows * mask[:, None]
             loss, drows = jax.value_and_grad(loss_fn)(rows, *batch)
-            new_state = self.apply_gradients(state, ids, drows, lr)
+            new_state = self.apply_gradients(state, ids, drows, lr, mask=mask)
             return new_state, loss
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -17,13 +17,20 @@ TPU-native replacement for the reference's gather/scatter stack:
 
 XLA is shape-static, so the alltoallv becomes one of:
 
-* ``'a2a'`` (default): dense padded buckets — each device sends up to
-  ``bucket_capacity`` ids to each owner in a ``[world, bucket_capacity]``
-  buffer (sentinel-padded), one ``lax.all_to_all`` each way.  With uniformly
-  distributed ids the per-owner load is ``B/world``; capacity defaults to 2x
-  that.  Ids beyond a bucket's capacity are DROPPED (their output rows are 0) —
-  the same trade MoE routing makes; raise ``capacity_factor`` for skewed id
-  distributions or use 'allgather'.
+* ``'a2a'`` (default): EXACT multi-round dense-bucket exchange.  Each round
+  sends up to ``bucket_capacity`` ids per owner in a
+  ``[world, bucket_capacity]`` buffer (sentinel-padded), one
+  ``lax.all_to_all`` each way; ids that overflow a bucket are carried to the
+  next round, and a ``lax.while_loop`` repeats until every id is delivered
+  (a ``psum`` of the undelivered count is the uniform exit condition).  With
+  uniformly distributed ids one round suffices — the loop exits after a
+  scalar check; under skew the loop pays exactly the extra volume the
+  overflow needs, matching the reference's dynamic alltoallv semantics
+  (gather_op_impl_nccl.cu:101-170 never drops) under static shapes.
+* ``'a2a_capped'``: the single-round fast path — ids beyond a bucket's
+  capacity are DROPPED (their output rows are 0), the trade MoE routing
+  makes.  Opt-in for latency-critical loops; monitor with
+  :func:`gather_overflow`.
 * ``'ragged'``: exact alltoallv via ``lax.ragged_all_to_all`` with a whole-
   device receive capacity (TPU backends only; XLA:CPU lacks the op).
 * ``'allgather'``: exact, no capacity assumption, W× communication volume.
@@ -168,6 +175,37 @@ def bucket_by_owner(ids: Array, owner: Array, world: int, cap: int, fill):
 # ---------------------------------------------------------------------------
 
 
+def _serve_requests(shard: Array, req: Array, *, plan: PartitionPlan, oob) -> Array:
+    """Local-take rows for a flat id-request buffer (sentinel → zero row)."""
+    valid = req < oob
+    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
+    rows = local_take(shard, slots)
+    return jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+
+
+def _gather_round(shard, ids, owner_eff, out, delivered, *, plan, axis, cap, oob):
+    """One bucket → a2a ids → local take → a2a rows → un-permute round.
+    Entries with ``owner_eff == world`` are excluded (already delivered).
+    Returns updated (out, delivered)."""
+    world = plan.world
+    bucket, src_pos = bucket_by_owner(ids, owner_eff, world, cap, oob)
+    pos = src_pos.reshape(world * cap)
+    safe_pos = jnp.where(pos >= 0, pos, ids.shape[0])  # padding → dropped
+
+    # requests: row w of my bucket goes to device w
+    req = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True)
+    rows = _serve_requests(shard, req.reshape(world * cap), plan=plan, oob=oob)
+
+    # replies: chunk v of rows goes back to device v
+    back = lax.all_to_all(
+        rows.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(world * cap, -1)
+
+    out = out.at[safe_pos].set(back, mode="drop")
+    delivered = delivered.at[safe_pos].set(True, mode="drop")
+    return out, delivered
+
+
 def _gather_shard_a2a(
     shard: Array,
     ids: Array,
@@ -175,59 +213,61 @@ def _gather_shard_a2a(
     plan: PartitionPlan,
     axis: str,
     cap: int,
+    exact: bool = True,
 ):
     """Per-device distributed gather: bucket → a2a ids → local take → a2a rows
-    → un-permute (gather_op_impl_nccl.cu:101-170 analog)."""
+    → un-permute (gather_op_impl_nccl.cu:101-170 analog).
+
+    With ``exact=True`` (default) the round repeats under a ``while_loop``
+    until every id is delivered — the static-shape equivalent of the
+    reference's dynamic alltoallv, which never drops.  ``exact=False`` is the
+    single-round capped path (overflow rows are zero)."""
     world = plan.world
     idt = index_dtype(plan)
     ids = ids.astype(idt)
+    B = ids.shape[0]
     oob = jnp.asarray(plan.n, idt)  # sentinel: one past the last logical row
-    owner = plan.owner(ids)
-    bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+    owner0 = plan.owner(ids).astype(jnp.int32)
+    # out-of-range ids are served as zero rows and never enter a bucket
+    in_range = (ids >= 0) & (ids < oob)
 
-    # requests: row w of my bucket goes to device w
-    req = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True)
-    # req[v*cap:(v+1)*cap] = ids device v asks of me
-    req = req.reshape(world, cap)
+    out = jnp.zeros((B, shard.shape[1]), shard.dtype)
+    delivered = ~in_range
+    owner_eff = jnp.where(delivered, world, owner0)
+    out, delivered = _gather_round(
+        shard, ids, owner_eff, out, delivered, plan=plan, axis=axis, cap=cap, oob=oob
+    )
+    if not exact:
+        return out
 
-    valid = req < oob
-    slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
-    rows = local_take(shard, slots.reshape(world * cap))
-    rows = jnp.where(valid.reshape(-1, 1), rows, jnp.zeros_like(rows))
+    def remaining(delivered):
+        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
 
-    # replies: chunk v of rows goes back to device v
-    back = lax.all_to_all(
-        rows.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
-    ).reshape(world * cap, -1)
+    def body(state):
+        out, delivered = state[0], state[1]
+        owner_eff = jnp.where(delivered, world, owner0)
+        out, delivered = _gather_round(
+            shard, ids, owner_eff, out, delivered,
+            plan=plan, axis=axis, cap=cap, oob=oob,
+        )
+        return out, delivered, remaining(delivered)
 
-    out = jnp.zeros((ids.shape[0], back.shape[1]), back.dtype)
-    pos = src_pos.reshape(world * cap)
-    pos = jnp.where(pos >= 0, pos, ids.shape[0])  # drop padding
-    out = out.at[pos].set(back, mode="drop")
+    out, delivered, _ = lax.while_loop(
+        lambda s: s[2] > 0, body, (out, delivered, remaining(delivered))
+    )
     return out
 
 
-def _scatter_shard_a2a(
-    shard: Array,
-    ids: Array,
-    rows: Array,
-    *,
-    plan: PartitionPlan,
-    axis: str,
-    cap: int,
-    accumulate: bool,
-):
-    """Per-device distributed scatter (scatter_op_impl_nccl.cu analog)."""
+def _scatter_round(shard, ids, rows, owner_eff, delivered, *, plan, axis, cap, oob, accumulate):
+    """One bucket → a2a (ids, rows) → local write round.  Returns
+    (shard, delivered)."""
     world = plan.world
-    idt = index_dtype(plan)
-    ids = ids.astype(idt)
-    oob = jnp.asarray(plan.n, idt)
-    owner = plan.owner(ids)
-    bucket, src_pos = bucket_by_owner(ids, owner, world, cap, oob)
+    bucket, src_pos = bucket_by_owner(ids, owner_eff, world, cap, oob)
 
     # gather the rows into bucket order; padding rows point past the end
     pos = src_pos.reshape(world * cap)
-    row_bucket = jnp.take(rows, jnp.where(pos >= 0, pos, rows.shape[0]), axis=0, mode="fill", fill_value=0)
+    safe_pos = jnp.where(pos >= 0, pos, rows.shape[0])
+    row_bucket = jnp.take(rows, safe_pos, axis=0, mode="fill", fill_value=0)
 
     recv_ids = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True).reshape(
         world * cap
@@ -239,8 +279,60 @@ def _scatter_shard_a2a(
     valid = recv_ids < oob
     slots = jnp.where(valid, plan.local_slot(jnp.where(valid, recv_ids, 0)), shard.shape[0])
     if accumulate:
-        return shard.at[slots].add(recv_rows.astype(shard.dtype), mode="drop")
-    return shard.at[slots].set(recv_rows.astype(shard.dtype), mode="drop")
+        shard = shard.at[slots].add(recv_rows.astype(shard.dtype), mode="drop")
+    else:
+        shard = shard.at[slots].set(recv_rows.astype(shard.dtype), mode="drop")
+    delivered = delivered.at[safe_pos].set(True, mode="drop")
+    return shard, delivered
+
+
+def _scatter_shard_a2a(
+    shard: Array,
+    ids: Array,
+    rows: Array,
+    *,
+    plan: PartitionPlan,
+    axis: str,
+    cap: int,
+    accumulate: bool,
+    exact: bool = True,
+):
+    """Per-device distributed scatter (scatter_op_impl_nccl.cu analog).
+    ``exact=True`` loops rounds until every row is delivered (no drops);
+    each source row is sent in exactly one round, so ``accumulate=True``
+    sums every contribution exactly once."""
+    world = plan.world
+    idt = index_dtype(plan)
+    ids = ids.astype(idt)
+    oob = jnp.asarray(plan.n, idt)
+    owner0 = plan.owner(ids).astype(jnp.int32)
+    in_range = (ids >= 0) & (ids < oob)
+
+    delivered = ~in_range  # out-of-range writes are dropped (reference OOB semantics)
+    owner_eff = jnp.where(delivered, world, owner0)
+    shard, delivered = _scatter_round(
+        shard, ids, rows, owner_eff, delivered,
+        plan=plan, axis=axis, cap=cap, oob=oob, accumulate=accumulate,
+    )
+    if not exact:
+        return shard
+
+    def remaining(delivered):
+        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
+
+    def body(state):
+        shard, delivered = state[0], state[1]
+        owner_eff = jnp.where(delivered, world, owner0)
+        shard, delivered = _scatter_round(
+            shard, ids, rows, owner_eff, delivered,
+            plan=plan, axis=axis, cap=cap, oob=oob, accumulate=accumulate,
+        )
+        return shard, delivered, remaining(delivered)
+
+    shard, delivered, _ = lax.while_loop(
+        lambda s: s[2] > 0, body, (shard, delivered, remaining(delivered))
+    )
+    return shard
 
 
 def _gather_shard_allgather(shard: Array, ids: Array, *, plan: PartitionPlan, axis: str):
@@ -450,7 +542,13 @@ def _build_gather_fn(plan, mesh, axis, method, cap):
     if method == "allgather":
         body = functools.partial(_gather_shard_allgather, plan=plan, axis=axis)
     elif method == "a2a":
-        body = functools.partial(_gather_shard_a2a, plan=plan, axis=axis, cap=cap)
+        body = functools.partial(
+            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=True
+        )
+    elif method == "a2a_capped":
+        body = functools.partial(
+            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=False
+        )
     elif method == "ragged":
         body = functools.partial(
             _gather_shard_ragged, plan=plan, axis=axis, recv_capacity=cap
@@ -469,9 +567,10 @@ def _build_gather_fn(plan, mesh, axis, method, cap):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate):
+def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact=True):
     body = functools.partial(
-        _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate
+        _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate,
+        exact=exact,
     )
     return jax.jit(
         jax.shard_map(
@@ -525,10 +624,15 @@ def gather(
     Args:
       data: physical table ``[world*capacity, D]`` sharded ``P(axis, None)``.
       ids: logical row ids, sharded ``P(axis)`` (each device holds its batch).
+        Out-of-range ids yield zero rows.
       plan: the table's partition plan.
-      method: 'a2a' (padded-bucket all-to-all, default), 'ragged' (exact
-        alltoallv; TPU only), 'allgather' (exact, W× comm).
-      capacity_factor: per-owner bucket headroom over the uniform load.
+      method: 'a2a' (default — EXACT multi-round padded-bucket all-to-all;
+        never drops), 'a2a_capped' (single round, bucket-overflow ids are
+        dropped to zero rows — monitor with :func:`gather_overflow`),
+        'ragged' (exact alltoallv; TPU only), 'allgather' (exact, W× comm).
+      capacity_factor: per-owner, per-round bucket headroom over the uniform
+        load.  For 'a2a' this is a performance knob (skew beyond it costs
+        extra rounds, never correctness); for 'a2a_capped' it bounds drops.
     Returns:
       rows ``[B, D]`` with the same sharding as ``ids``.
     """
@@ -552,7 +656,7 @@ def gather(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
 
-    if method == "a2a":
+    if method in ("a2a", "a2a_capped"):
         cap = _bucket_cap(B_local, world, capacity_factor)
     elif method == "ragged":
         cap = _round_up(max(int(B_local * capacity_factor), world, 8), 8)
@@ -586,10 +690,11 @@ def gather_overflow(
     axis: str = "data",
     capacity_factor: float = 2.0,
 ) -> Array:
-    """Number of ids the 'a2a' gather/scatter would DROP at the current
-    capacity (bucket overflow observability — call periodically in
-    production to validate capacity_factor; reference alltoallv is dynamic
-    and never drops, so this is the price of static shapes)."""
+    """Number of ids a single capped round would overflow at the current
+    capacity.  For ``method='a2a_capped'`` this is the DROP count; for the
+    exact default it is instead a proxy for the extra-round volume (overflow
+    ids repeat in later rounds).  Call periodically in production to tune
+    ``capacity_factor``."""
     world = plan.world
     if world == 1:
         return jnp.zeros((1,), jnp.int32)
@@ -610,13 +715,18 @@ def scatter(
     accumulate: bool = False,
     capacity_factor: float = 2.0,
     donate: bool = False,
+    exact: bool = True,
 ) -> Array:
     """Scatter rows into a row-sharded table by logical id; returns new table.
 
-    Duplicate ids: with ``accumulate=False`` the winning writer is unspecified
-    (same caveat as the reference scatter); with ``accumulate=True`` all
-    contributions sum.  ``donate=True`` updates the table buffer in place
-    (no double-buffering of a huge table; the input array becomes invalid).
+    ``exact=True`` (default) repeats the bucket exchange until every row is
+    delivered — no silent drops under skewed id→owner distributions
+    (reference alltoallv semantics); ``exact=False`` is the single-round
+    capped fast path.  Duplicate ids: with ``accumulate=False`` the winning
+    writer is unspecified (same caveat as the reference scatter); with
+    ``accumulate=True`` all contributions sum (each exactly once, also across
+    rounds).  ``donate=True`` updates the table buffer in place (no
+    double-buffering of a huge table; the input array becomes invalid).
     """
     world = plan.world
     check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
@@ -630,6 +740,7 @@ def scatter(
         out = scatter(
             data[:, None], ids, rows[:, None], plan=plan, mesh=mesh, axis=axis,
             accumulate=accumulate, capacity_factor=capacity_factor, donate=donate,
+            exact=exact,
         )
         return out[:, 0]
 
@@ -637,5 +748,5 @@ def scatter(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
     cap = _bucket_cap(B_local, world, capacity_factor)
-    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate)
+    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact)
     return fn(data, ids, rows)
