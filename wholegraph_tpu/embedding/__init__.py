@@ -6,6 +6,7 @@ from .cache import (
     refresh_hot_cache,
 )
 from .embedding import Embedding, EmbeddingState
+from .host_embedding import HostEmbedding, HostEmbeddingState
 from .optimizers import (
     AdaGrad,
     LazyAdam,
@@ -18,6 +19,8 @@ from .optimizers import (
 __all__ = [
     "Embedding",
     "EmbeddingState",
+    "HostEmbedding",
+    "HostEmbeddingState",
     "HotCache",
     "build_hot_cache",
     "gather_with_cache",

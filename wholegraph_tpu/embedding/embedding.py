@@ -108,6 +108,64 @@ def _optimizer_step(
     return shard, new_slot_shards
 
 
+def exchange_grads_exact(uids_l, ugrads_l, *, plan, axis, cap):
+    """EXACT multi-round bucket exchange of locally-deduped (id, grad)
+    contributions to their owners.  Each receiver merges every round into a
+    pending accumulator (sorted-merge + segment-sum) statically sized at the
+    global batch — its provable worst case.  Returns (pend_ids [P],
+    pend_grads [P, D]) with ids ascending, padding ≥ plan.n."""
+    world = plan.world
+    oob = jnp.asarray(plan.n, uids_l.dtype)
+    owner0 = jnp.where(
+        uids_l < oob, plan.owner(jnp.where(uids_l < oob, uids_l, 0)), world
+    ).astype(jnp.int32)
+    B_local = uids_l.shape[0]
+    P = world * B_local  # receiver worst case: every global batch id is mine
+    pend_ids = jnp.full((P,), oob, uids_l.dtype)
+    pend_grads = jnp.zeros((P, ugrads_l.shape[1]), jnp.float32)
+
+    def one_round(pend_ids, pend_grads, delivered):
+        owner_eff = jnp.where(delivered, world, owner0)
+        bucket, src_pos = bucket_by_owner(uids_l, owner_eff, world, cap, oob)
+        pos = src_pos.reshape(world * cap)
+        safe_pos = jnp.where(pos >= 0, pos, ugrads_l.shape[0])
+        grad_bucket = jnp.take(ugrads_l, safe_pos, axis=0, mode="fill", fill_value=0)
+        recv_ids = lax.all_to_all(
+            bucket, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(world * cap)
+        recv_grads = lax.all_to_all(
+            grad_bucket.reshape(world, cap, -1), axis, split_axis=0,
+            concat_axis=0, tiled=True,
+        ).reshape(world * cap, -1)
+        # merge into pending: unique valid ids across all rounds <= P, and
+        # _dedup_sorted packs them (ascending) into the prefix, so the
+        # truncation back to P never discards a valid id
+        m_ids, m_grads = _dedup_sorted(
+            jnp.concatenate([pend_ids, recv_ids]),
+            jnp.concatenate([pend_grads, recv_grads.astype(jnp.float32)]),
+            oob,
+        )
+        delivered = delivered.at[safe_pos].set(True, mode="drop")
+        return m_ids[:P], m_grads[:P], delivered
+
+    def remaining(delivered):
+        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
+
+    delivered = uids_l >= oob  # padding needs no delivery
+    pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
+
+    def body(state):
+        pend_ids, pend_grads, delivered = state[0], state[1], state[2]
+        pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
+        return pend_ids, pend_grads, delivered, remaining(delivered)
+
+    pend_ids, pend_grads, delivered, _ = lax.while_loop(
+        lambda s: s[3] > 0, body,
+        (pend_ids, pend_grads, delivered, remaining(delivered)),
+    )
+    return pend_ids, pend_grads
+
+
 def _apply_grad_shard(
     shard: Array,
     slot_shards: tuple,
@@ -151,53 +209,8 @@ def _apply_grad_shard(
             plan=plan, opt=opt, slot_names=slot_names,
         )
 
-    owner0 = jnp.where(
-        uids_l < oob, plan.owner(jnp.where(uids_l < oob, uids_l, 0)), world
-    ).astype(jnp.int32)
-
-    B_local = ids.shape[0]
-    P = world * B_local  # receiver worst case: every global batch id is mine
-    pend_ids = jnp.full((P,), oob, idt)
-    pend_grads = jnp.zeros((P, grads.shape[1]), jnp.float32)
-
-    def one_round(pend_ids, pend_grads, delivered):
-        owner_eff = jnp.where(delivered, world, owner0)
-        bucket, src_pos = bucket_by_owner(uids_l, owner_eff, world, cap, oob)
-        pos = src_pos.reshape(world * cap)
-        safe_pos = jnp.where(pos >= 0, pos, ugrads_l.shape[0])
-        grad_bucket = jnp.take(ugrads_l, safe_pos, axis=0, mode="fill", fill_value=0)
-        recv_ids = lax.all_to_all(
-            bucket, axis, split_axis=0, concat_axis=0, tiled=True
-        ).reshape(world * cap)
-        recv_grads = lax.all_to_all(
-            grad_bucket.reshape(world, cap, -1), axis, split_axis=0,
-            concat_axis=0, tiled=True,
-        ).reshape(world * cap, -1)
-        # merge into pending: unique valid ids across all rounds <= P, and
-        # _dedup_sorted packs them (ascending) into the prefix, so the
-        # truncation back to P never discards a valid id
-        m_ids, m_grads = _dedup_sorted(
-            jnp.concatenate([pend_ids, recv_ids]),
-            jnp.concatenate([pend_grads, recv_grads.astype(jnp.float32)]),
-            oob,
-        )
-        delivered = delivered.at[safe_pos].set(True, mode="drop")
-        return m_ids[:P], m_grads[:P], delivered
-
-    def remaining(delivered):
-        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
-
-    delivered = uids_l >= oob  # padding needs no delivery
-    pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
-
-    def body(state):
-        pend_ids, pend_grads, delivered = state[0], state[1], state[2]
-        pend_ids, pend_grads, delivered = one_round(pend_ids, pend_grads, delivered)
-        return pend_ids, pend_grads, delivered, remaining(delivered)
-
-    pend_ids, pend_grads, delivered, _ = lax.while_loop(
-        lambda s: s[3] > 0, body,
-        (pend_ids, pend_grads, delivered, remaining(delivered)),
+    pend_ids, pend_grads = exchange_grads_exact(
+        uids_l, ugrads_l, plan=plan, axis=axis, cap=cap
     )
     return _optimizer_step(
         shard, slot_shards, pend_ids, pend_grads, step, lr,

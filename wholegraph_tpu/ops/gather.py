@@ -175,35 +175,75 @@ def bucket_by_owner(ids: Array, owner: Array, world: int, cap: int, fill):
 # ---------------------------------------------------------------------------
 
 
-def _serve_requests(shard: Array, req: Array, *, plan: PartitionPlan, oob) -> Array:
-    """Local-take rows for a flat id-request buffer (sentinel → zero row)."""
+def _serve_requests(shard: Array, req: Array, *, plan: PartitionPlan, oob):
+    """Local-take rows for a flat id-request buffer (sentinel → zero row).
+    Returns (rows, served_mask) — the plain device path serves everything."""
     valid = req < oob
     slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
     rows = local_take(shard, slots)
-    return jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+    return jnp.where(valid[:, None], rows, jnp.zeros_like(rows)), valid
 
 
-def _gather_round(shard, ids, owner_eff, out, delivered, *, plan, axis, cap, oob):
-    """One bucket → a2a ids → local take → a2a rows → un-permute round.
-    Entries with ``owner_eff == world`` are excluded (already delivered).
-    Returns updated (out, delivered)."""
-    world = plan.world
+def _gather_round(serve_fn, ids, owner_eff, out, delivered, *, world, axis, cap, oob):
+    """One bucket → a2a ids → serve → a2a rows → un-permute round.
+
+    ``serve_fn(req_flat) -> (rows, served_mask)`` answers the id requests
+    landing on this device; requests it could NOT serve this round
+    (``served_mask`` False, e.g. a capped host-memory fetch) stay
+    undelivered and repeat next round.  Entries with ``owner_eff == world``
+    are excluded (already delivered).  Returns updated (out, delivered)."""
     bucket, src_pos = bucket_by_owner(ids, owner_eff, world, cap, oob)
     pos = src_pos.reshape(world * cap)
     safe_pos = jnp.where(pos >= 0, pos, ids.shape[0])  # padding → dropped
 
     # requests: row w of my bucket goes to device w
     req = lax.all_to_all(bucket, axis, split_axis=0, concat_axis=0, tiled=True)
-    rows = _serve_requests(shard, req.reshape(world * cap), plan=plan, oob=oob)
+    rows, served = serve_fn(req.reshape(world * cap))
 
-    # replies: chunk v of rows goes back to device v
+    # replies: chunk v of rows goes back to device v (+ its served bits)
     back = lax.all_to_all(
         rows.reshape(world, cap, -1), axis, split_axis=0, concat_axis=0, tiled=True
     ).reshape(world * cap, -1)
+    served_back = lax.all_to_all(
+        served.reshape(world, cap), axis, split_axis=0, concat_axis=0, tiled=True
+    ).reshape(world * cap)
 
-    out = out.at[safe_pos].set(back, mode="drop")
-    delivered = delivered.at[safe_pos].set(True, mode="drop")
+    write_pos = jnp.where(served_back, safe_pos, ids.shape[0])
+    out = out.at[write_pos].set(back, mode="drop")
+    delivered = delivered.at[write_pos].set(True, mode="drop")
     return out, delivered
+
+
+def gather_exact_loop(
+    serve_fn, ids, owner0, out, delivered, *, world, axis, cap, oob, exact=True
+):
+    """Multi-round exchange driver shared by the device and host-tier
+    gathers: repeat ``_gather_round`` until every id is delivered (psum of
+    the undelivered count is the uniform while_loop condition)."""
+    owner_eff = jnp.where(delivered, world, owner0)
+    out, delivered = _gather_round(
+        serve_fn, ids, owner_eff, out, delivered,
+        world=world, axis=axis, cap=cap, oob=oob,
+    )
+    if not exact:
+        return out
+
+    def remaining(delivered):
+        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
+
+    def body(state):
+        out, delivered = state[0], state[1]
+        owner_eff = jnp.where(delivered, world, owner0)
+        out, delivered = _gather_round(
+            serve_fn, ids, owner_eff, out, delivered,
+            world=world, axis=axis, cap=cap, oob=oob,
+        )
+        return out, delivered, remaining(delivered)
+
+    out, delivered, _ = lax.while_loop(
+        lambda s: s[2] > 0, body, (out, delivered, remaining(delivered))
+    )
+    return out
 
 
 def _gather_shard_a2a(
@@ -233,29 +273,11 @@ def _gather_shard_a2a(
 
     out = jnp.zeros((B, shard.shape[1]), shard.dtype)
     delivered = ~in_range
-    owner_eff = jnp.where(delivered, world, owner0)
-    out, delivered = _gather_round(
-        shard, ids, owner_eff, out, delivered, plan=plan, axis=axis, cap=cap, oob=oob
+    serve = functools.partial(_serve_requests, shard, plan=plan, oob=oob)
+    return gather_exact_loop(
+        serve, ids, owner0, out, delivered,
+        world=world, axis=axis, cap=cap, oob=oob, exact=exact,
     )
-    if not exact:
-        return out
-
-    def remaining(delivered):
-        return lax.psum(jnp.sum(~delivered).astype(jnp.int32), axis)
-
-    def body(state):
-        out, delivered = state[0], state[1]
-        owner_eff = jnp.where(delivered, world, owner0)
-        out, delivered = _gather_round(
-            shard, ids, owner_eff, out, delivered,
-            plan=plan, axis=axis, cap=cap, oob=oob,
-        )
-        return out, delivered, remaining(delivered)
-
-    out, delivered, _ = lax.while_loop(
-        lambda s: s[2] > 0, body, (out, delivered, remaining(delivered))
-    )
-    return out
 
 
 def _scatter_round(shard, ids, rows, owner_eff, delivered, *, plan, axis, cap, oob, accumulate):

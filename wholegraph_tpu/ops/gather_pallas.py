@@ -193,3 +193,178 @@ def gather_rows_pallas(
         table, ids, id_block=id_block, n_inflight=n_inflight
     )
     return out3.reshape(B, D)
+
+
+# ---------------------------------------------------------------------------
+# Masked host-memory row gather/scatter (the device_cached_host hot path)
+# ---------------------------------------------------------------------------
+#
+# The reference's host-located tables are gathered directly by kernels over
+# PCIe (memory_handle.cpp:530-577 shared-host mmap + gather_cached_func.cu);
+# the TPU equivalent is a pallas DMA ring whose table memref lives in
+# pltpu.MemorySpace.HOST.  Slots < 0 are SKIPPED (no DMA issued, output row
+# is garbage — callers mask), so host-link traffic is proportional to the
+# number of real fetches, not the padded buffer size.
+
+
+def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block, n_inflight):
+    nb = pl.program_id(0)
+    base = nb * id_block
+
+    def dma(j):
+        idx = ids_ref[j]
+        return pltpu.make_async_copy(
+            table_ref.at[idx], out_ref.at[base + j], sems.at[j % n_inflight]
+        )
+
+    def issue(j, _):
+        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[j - n_inflight] >= 0))
+        def _wait():
+            dma(j - n_inflight).wait()
+
+        @pl.when(ids_ref[j] >= 0)
+        def _start():
+            dma(j).start()
+
+        return 0
+
+    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+
+    def drain(k, _):
+        j = id_block - n_inflight + k
+
+        @pl.when(jnp.logical_and(j >= 0, ids_ref[j] >= 0))
+        def _w():
+            dma(j).wait()
+
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _masked_scatter_kernel(
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block, n_inflight
+):
+    del table_in_ref  # aliased with out_ref
+    nb = pl.program_id(0)
+    base = nb * id_block
+
+    def dma(j):
+        idx = ids_ref[j]
+        return pltpu.make_async_copy(
+            rows_ref.at[base + j], out_ref.at[idx], sems.at[j % n_inflight]
+        )
+
+    def issue(j, _):
+        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[j - n_inflight] >= 0))
+        def _wait():
+            dma(j - n_inflight).wait()
+
+        @pl.when(ids_ref[j] >= 0)
+        def _start():
+            dma(j).start()
+
+        return 0
+
+    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+
+    def drain(k, _):
+        j = id_block - n_inflight + k
+
+        @pl.when(jnp.logical_and(j >= 0, ids_ref[j] >= 0))
+        def _w():
+            dma(j).wait()
+
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _pad_ids(ids: Array, id_block: int) -> Array:
+    B = ids.shape[0]
+    pad = -B % id_block
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), -1, ids.dtype)])
+    return ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("id_block", "n_inflight", "host_table")
+)
+def gather_rows_masked(
+    table: Array,
+    slots: Array,
+    *,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+    host_table: bool = False,
+) -> Array:
+    """out[i] = table[slots[i]] for slots >= 0 (GARBAGE rows where slot < 0 —
+    mask downstream).  ``host_table=True`` reads the table from
+    pltpu.MemorySpace.HOST (pinned host memory over PCIe) — the
+    device_cached_host cold-fetch path."""
+    B = slots.shape[0]
+    N, D = table.shape
+    assert D % 128 == 0, D
+    slots = _pad_ids(slots.astype(jnp.int32), id_block)
+    Bp = slots.shape[0]
+    table_space = pltpu.MemorySpace.HOST if host_table else pltpu.ANY
+    out3 = pl.pallas_call(
+        functools.partial(
+            _masked_gather_kernel, id_block=id_block, n_inflight=n_inflight
+        ),
+        grid=(Bp // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=table_space),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, D // 128, 128), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slots, table.reshape(N, D // 128, 128))
+    return out3.reshape(Bp, D)[:B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("id_block", "n_inflight", "host_table"),
+    donate_argnums=(0,),
+)
+def scatter_rows_masked(
+    table: Array,
+    slots: Array,
+    rows: Array,
+    *,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+    host_table: bool = False,
+) -> Array:
+    """table[slots[i]] = rows[i] for slots >= 0 (slot < 0 skipped); the table
+    buffer is donated and updated in place.  ``host_table=True`` writes back
+    to pinned host memory (the trainable host-tier writeback)."""
+    B = slots.shape[0]
+    N, D = table.shape
+    assert D % 128 == 0 and rows.shape == (B, D)
+    slots = _pad_ids(slots.astype(jnp.int32), id_block)
+    Bp = slots.shape[0]
+    if Bp != B:
+        rows = jnp.concatenate([rows, jnp.zeros((Bp - B, D), rows.dtype)])
+    table_space = pltpu.MemorySpace.HOST if host_table else pltpu.ANY
+    out3 = pl.pallas_call(
+        functools.partial(
+            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight
+        ),
+        grid=(Bp // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=table_space),
+        ],
+        out_specs=pl.BlockSpec(memory_space=table_space),
+        out_shape=jax.ShapeDtypeStruct((N, D // 128, 128), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0},
+    )(slots, rows.reshape(Bp, D // 128, 128), table.reshape(N, D // 128, 128))
+    return out3.reshape(N, D)
