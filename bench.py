@@ -3,19 +3,30 @@
 Headline metric mirrors the reference's gather/scatter bandwidth bench
 (reference: cpp/bench/wholememory_ops/gather_scatter_bench.cu:346-365 —
 bandwidth = gathered_bytes / iter_time; default config 400GB table / 20GB
-gather / dim 256 float scaled down to one chip's HBM).
+gather / dim 256 float scaled down to one chip's HBM).  Additional modes
+mirror the rest of the reference harness: scatter (gather_scatter_bench.cu
+mode switch :212,381), sampling / weighted sampling (wholegraph_ops perf
+tests), apply (gather_gradient_apply path), spmm (cuGraph-Ops agg), host
+(device_cached_host tier), and scaling (multi-device efficiency, the
+BASELINE >=80% target).
 
 vs_baseline is the fraction of single-chip speed-of-light: a gather must
 read + write each row once, so SoL = HBM_BW / 2 "gathered bytes"/s
 (v5e: 819 GB/s HBM -> 409.5 GB/s SoL).
+
+Timing notes: through remote-execution tunnels block_until_ready() can
+return before device completion, so everything here times a dependent chain
+with a dynamic trip count between two scalar host fetches and differences
+out the fixed round trip (utils/perf.py measure_chain).
 """
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
+
+from wholegraph_tpu.utils.perf import measure_chain
 
 
 HBM_GBPS = {
@@ -38,10 +49,6 @@ def detect_hbm_gbps() -> float:
 
 
 def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
-    """Timing note: through remote-execution tunnels block_until_ready() can
-    return before device completion, so we time a dependent chain with a
-    dynamic trip count between two scalar host fetches and difference out the
-    fixed round-trip cost."""
     import wholegraph_tpu as wg
 
     mesh = wg.parallel.create_global_mesh()
@@ -52,38 +59,102 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
     )
 
-    @jax.jit
-    def chain(data, n):
-        def body(i, acc):
-            ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
-            if use_pallas3:
-                # native tile layout: measures the gather itself without the
-                # artificial [B, d0, 128] -> [B, D] relayout pass
-                from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
+    def step(i, data):
+        ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
+        if use_pallas3:
+            # native tile layout: measures the gather itself without the
+            # artificial [B, d0, 128] -> [B, D] relayout pass
+            from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
 
-                phys = table.plan.physical_index(ids)
-                rows = gather_rows_pallas3(data, phys.astype(jnp.int32))
-                return acc + rows[0, 0, 0]
-            rows = wg.ops.gather(
-                data, ids, plan=table.plan, mesh=mesh, axis=table.axis
+            phys = table.plan.physical_index(ids)
+            rows = gather_rows_pallas3(data, phys.astype(jnp.int32))
+            return rows[0, 0, 0]
+        rows = wg.ops.gather(data, ids, plan=table.plan, mesh=mesh, axis=table.axis)
+        return rows[0, 0]
+
+    dt = measure_chain(step, iters, table.data)
+    return batch * dim * 4 / dt / 1e9, dt
+
+
+def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
+    """Scatter bandwidth (the reference bench's scatter mode,
+    gather_scatter_bench.cu:381): random-row writes into the table."""
+    import wholegraph_tpu as wg
+
+    mesh = wg.parallel.create_global_mesh()
+    world = mesh.shape["data"]
+    use_pallas = world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
+    table = wg.ShardedTable.create(mesh, n_rows, dim)
+    rows_mat = jax.jit(lambda: jnp.ones((batch, dim), jnp.float32))()
+
+    if use_pallas:
+        from wholegraph_tpu.ops.gather_pallas import scatter_rows_pallas
+
+        def step(i, data, rows):
+            ids = jax.random.randint(
+                jax.random.PRNGKey(i), (batch,), 0, n_rows, dtype=jnp.int32
             )
-            return acc + rows[0, 0]
+            out = scatter_rows_pallas(data, ids, rows)
+            return out[0, 0] * 0.0
+    else:
+        plan = table.plan
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        def step(i, data, rows):
+            ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
+            out = wg.ops.scatter(data, ids, rows, plan=plan, mesh=mesh)
+            return out[0, 0] * 0.0
 
-    float(chain(table.data, 1))  # compile + warm
+    dt = measure_chain(step, iters, table.data, rows_mat)
+    return batch * dim * 4 / dt / 1e9, dt
+
+
+def bench_apply(n_rows=1_000_000, dim=256, batch=1 << 17, iters=8):
+    """Sparse optimizer apply throughput (gather_gradient_apply analog):
+    updated rows/s through bucket-exchange + dedup + LazyAdam."""
+    import numpy as np
+
+    import wholegraph_tpu as wg
+    from wholegraph_tpu.embedding import Embedding, LazyAdam
+
+    mesh = wg.parallel.create_global_mesh()
+    emb = Embedding.create(mesh, n_rows, dim, optimizer=LazyAdam())
+    state = emb.init(jax.random.PRNGKey(0))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rs = np.random.RandomState(0)
+    ids = jax.device_put(
+        jnp.asarray(rs.randint(0, n_rows, batch)), NamedSharding(mesh, P("data"))
+    )
+    grads = jax.device_put(
+        jnp.ones((batch, dim), jnp.float32), NamedSharding(mesh, P("data", None))
+    )
+
+    # chain full apply steps: state is the carried dependency
+    import time
+
+    @jax.jit
+    def apply_n(state, n):
+        def body(i, st):
+            return emb.apply_gradients(st, ids, grads, 0.01)
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    state = apply_n(state, 1)  # compile
+    state = apply_n(state, 1)  # warm (first post-compile call can still pay
+    float(state.step)          # one-time lazy costs on some backends)
     t0 = time.perf_counter()
-    float(chain(table.data, 1))
-    t_base = time.perf_counter() - t0
+    state = apply_n(state, 1)
+    float(state.step)
+    base = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chain(table.data, 1 + iters))
-    t_full = time.perf_counter() - t0
-    dt = max((t_full - t_base) / iters, 1e-9)
-    gathered_bytes = batch * dim * 4
-    return gathered_bytes / dt / 1e9, dt
+    state = apply_n(state, 1 + iters)
+    float(state.step)
+    dt = max((time.perf_counter() - t0 - base) / iters, 1e-9)
+    return batch / dt, dt
 
 
-def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8):
+def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
+                   weighted=False):
     """Neighbor-sampling throughput (edges/s) — the reference's sampler
     bench dimension (cpp/tests/wholegraph_ops parameterized perf)."""
     from wholegraph_tpu.ops.sampling import csr_sample_neighbors
@@ -97,26 +168,27 @@ def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8):
         )
 
     col = make_col()
+    weights = None
+    if weighted:
+        weights = jax.jit(
+            lambda: jax.random.uniform(jax.random.PRNGKey(1), (n_rows * deg,)) + 0.1
+        )()
 
-    @jax.jit
-    def chain(col, n):
-        def body(i, acc):
-            centers = jax.random.randint(
-                jax.random.PRNGKey(i), (batch,), 0, n_rows, dtype=jnp.int32
-            )
-            res = csr_sample_neighbors(row_ptr, col, centers, K, seed=0)
-            return acc + res.neighbors[0, 0].astype(jnp.float32)
+    def step(i, col, *w):
+        centers = jax.random.randint(
+            jax.random.PRNGKey(i), (batch,), 0, n_rows, dtype=jnp.int32
+        )
+        res = csr_sample_neighbors(
+            row_ptr, col, centers, K, seed=0,
+            weights=w[0] if w else None,
+            # declared max_degree far above the actual: the degree ladder
+            # must keep the cost proportional to the batch's real max
+            max_degree=65536 if weighted else None,
+        )
+        return res.neighbors[0, 0].astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    float(chain(col, 1))
-    t0 = time.perf_counter()
-    float(chain(col, 1))
-    base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(col, 1 + iters))
-    full = time.perf_counter() - t0
-    dt = max((full - base) / iters, 1e-9)
+    args = (col, weights) if weighted else (col,)
+    dt = measure_chain(step, iters, *args)
     return batch * K / dt, dt
 
 
@@ -125,32 +197,65 @@ def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
     path; replaces cuGraph-Ops agg_concat_n2n)."""
     from wholegraph_tpu.ops.spmm import padded_reduce
 
-    @jax.jit
-    def chain(x, n):
-        def body(i, acc):
-            nbr = jax.random.randint(
-                jax.random.PRNGKey(i), (batch, K), 0, num_src, dtype=jnp.int32
-            )
-            out = padded_reduce(x, nbr, jnp.ones((batch, K), bool), "mean")
-            return acc + out[0, 0]
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    def step(i, x):
+        nbr = jax.random.randint(
+            jax.random.PRNGKey(i), (batch, K), 0, num_src, dtype=jnp.int32
+        )
+        out = padded_reduce(x, nbr, jnp.ones((batch, K), bool), "mean")
+        return out[0, 0]
 
     x = jax.jit(lambda: jnp.ones((num_src, dim), jnp.float32))()
-    float(chain(x, 1))
-    t0 = time.perf_counter()
-    float(chain(x, 1))
-    base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(x, 1 + iters))
-    full = time.perf_counter() - t0
-    dt = max((full - base) / iters, 1e-9)
+    dt = measure_chain(step, iters, x)
     return batch * K / dt, dt
+
+
+def bench_scaling(n_rows=500_000, dim=128, batch_per_dev=1 << 14, iters=6):
+    """Weak-scaling efficiency of the distributed gather: edges-of-work/s on
+    the full mesh vs world * single-device rate (the BASELINE >=80% target;
+    reference multi-node bench sideband).  On a single chip this reports
+    1.0 by construction; run on a pod (or the CPU virtual mesh) for a real
+    number."""
+    import numpy as np
+
+    import wholegraph_tpu as wg
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
+
+    def rate(devices):
+        world = len(devices)
+        mesh = Mesh(np.asarray(devices), ("data",))
+        table = wg.ShardedTable.create(mesh, n_rows, dim)
+        B = batch_per_dev * world
+
+        def step(i, data):
+            ids = jax.random.randint(jax.random.PRNGKey(i), (B,), 0, n_rows)
+            ids = jax.lax.with_sharding_constraint(
+                ids, NamedSharding(mesh, P("data"))
+            )
+            rows = wg.ops.gather(data, ids, plan=table.plan, mesh=mesh)
+            return rows[0, 0]
+
+        dt = measure_chain(step, iters, table.data)
+        return B / dt
+
+    devs = jax.devices()
+    r1 = rate(devs[:1])
+    if len(devs) == 1:
+        return 1.0, r1
+    rW = rate(devs)
+    return rW / (len(devs) * r1), rW
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", default="gather", choices=["gather", "sampling", "spmm"])
+    ap.add_argument(
+        "--metric",
+        default="gather",
+        choices=[
+            "gather", "scatter", "apply", "sampling", "weighted_sampling",
+            "spmm", "scaling", "host_gather",
+        ],
+    )
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
@@ -162,53 +267,82 @@ def main():
         # keep CPU smoke runs fast
         args.rows, args.batch, args.iters = 200_000, 1 << 14, 3
 
-    if args.metric == "sampling":
+    sol_gbps = detect_hbm_gbps() / 2.0
+
+    if args.metric in ("sampling", "weighted_sampling"):
         eps, dt = bench_sampling(
             n_rows=min(args.rows, 2_000_000), batch=min(args.batch, 1 << 16),
-            iters=args.iters,
+            iters=args.iters, weighted=args.metric == "weighted_sampling",
         )
-        # SoL proxy: row_ptr+col fetch bound -> edges/s at HBM bw over
-        # (4B col + amortized ptr) per edge is optimistic; report raw
-        print(
-            json.dumps(
-                {
-                    "metric": "sampling_throughput",
-                    "value": round(eps / 1e6, 3),
-                    "unit": "Medges/s",
-                    "vs_baseline": round(eps * 4 / detect_hbm_gbps() / 1e9, 4),
-                }
-            )
-        )
+        print(json.dumps({
+            "metric": f"{args.metric}_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps * 4 / detect_hbm_gbps() / 1e9, 4),
+        }))
         return
     if args.metric == "spmm":
         eps, dt = bench_spmm(batch=min(args.batch, 1 << 16), dim=args.dim,
                              iters=args.iters)
-        bytes_per_edge = args.dim * 4
-        sol_eps = detect_hbm_gbps() * 1e9 / bytes_per_edge
-        print(
-            json.dumps(
-                {
-                    "metric": "spmm_throughput",
-                    "value": round(eps / 1e6, 3),
-                    "unit": "Medges/s",
-                    "vs_baseline": round(eps / sol_eps, 4),
-                }
-            )
+        sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
+        print(json.dumps({
+            "metric": "spmm_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
+    if args.metric == "scatter":
+        gbps, dt = bench_scatter(args.rows, args.dim, args.batch, args.iters)
+        print(json.dumps({
+            "metric": "embedding_scatter_bandwidth",
+            "value": round(gbps, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / sol_gbps, 4),
+        }))
+        return
+    if args.metric == "apply":
+        rps, dt = bench_apply(
+            n_rows=min(args.rows, 1_000_000), dim=args.dim,
+            batch=min(args.batch, 1 << 17), iters=args.iters,
         )
+        # SoL proxy: apply touches table+m+v rows read+write (6 row moves)
+        sol_rps = detect_hbm_gbps() * 1e9 / (args.dim * 4 * 6)
+        print(json.dumps({
+            "metric": "embedding_apply_throughput",
+            "value": round(rps / 1e6, 3),
+            "unit": "Mrows/s",
+            "vs_baseline": round(rps / sol_rps, 4),
+        }))
+        return
+    if args.metric == "scaling":
+        eff, rate = bench_scaling(iters=args.iters)
+        print(json.dumps({
+            "metric": "gather_scaling_efficiency",
+            "value": round(eff, 4),
+            "unit": "x",
+            "vs_baseline": round(eff / 0.8, 4),  # >=1.0 meets the 80% target
+        }))
+        return
+    if args.metric == "host_gather":
+        from wholegraph_tpu.embedding.host_embedding import bench_host_gather
+
+        gbps, dt = bench_host_gather(args.rows, args.dim, args.batch, args.iters)
+        print(json.dumps({
+            "metric": "host_tier_gather_bandwidth",
+            "value": round(gbps, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / sol_gbps, 4),
+        }))
         return
 
     gbps, dt = bench_gather(args.rows, args.dim, args.batch, args.iters)
-    sol = detect_hbm_gbps() / 2.0
-    print(
-        json.dumps(
-            {
-                "metric": "embedding_gather_bandwidth",
-                "value": round(gbps, 2),
-                "unit": "GB/s",
-                "vs_baseline": round(gbps / sol, 4),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "embedding_gather_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / sol_gbps, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,63 @@ def test_weighted_parity_vs_host():
     np.testing.assert_array_equal(np.asarray(res.positions) * h_mask, h_pos * h_mask)
 
 
+def test_weighted_degree_ladder_bit_equal():
+    """The lax.switch degree ladder must be bit-identical whatever the
+    declared graph max_degree: a low-degree batch on a graph declared with a
+    huge max_degree runs a small ladder level yet returns exactly the same
+    sample (the chunks it skips hold only -inf keys)."""
+    row_ptr, col = hs.random_csr(200, avg_deg=12, seed=9, max_deg=100)
+    weights = (np.random.RandomState(10).rand(row_ptr[-1]) + 0.05).astype(np.float32)
+    centers = np.random.RandomState(11).randint(0, 200, 64)
+    K = 6
+    outs = []
+    for declared_md in (100, 4096, 65536):  # 1, ~8, ~128 chunk levels
+        res = csr_sample_neighbors(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,
+            seed=13, hop=1, weights=jnp.asarray(weights), max_degree=declared_md,
+        )
+        outs.append((np.asarray(res.neighbors), np.asarray(res.mask),
+                     np.asarray(res.positions)))
+    for nb, mk, ps in outs[1:]:
+        np.testing.assert_array_equal(nb, outs[0][0])
+        np.testing.assert_array_equal(mk, outs[0][1])
+        np.testing.assert_array_equal(ps, outs[0][2])
+
+
+def test_weighted_ladder_covers_high_degree_tail(mesh8):
+    """A batch containing one genuinely high-degree center still samples it
+    correctly (the ladder picks a level covering the tail)."""
+    n = 64
+    deg_hi = 3000
+    degs = np.full(n, 4)
+    degs[7] = deg_hi  # power-law-ish outlier
+    row_ptr = np.concatenate([[0], np.cumsum(degs)]).astype(np.int64)
+    E = row_ptr[-1]
+    col = np.random.RandomState(12).randint(0, n, E).astype(np.int32)
+    weights = np.ones(E, np.float32)
+    weights[row_ptr[7] : row_ptr[7] + 5] = 1000.0  # 5 dominant edges
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col),
+        jnp.asarray(np.array([7] * 8, np.int32)), 5,
+        seed=3, weights=jnp.asarray(weights), max_degree=deg_hi,
+    )
+    pos = np.asarray(res.positions)[0]
+    mask = np.asarray(res.mask)[0]
+    assert mask.all()
+    # heavy edges dominate, and positions beyond the first 512-chunk appear
+    # (proof the ladder actually covered the high-degree tail)
+    assert (pos < 5).sum() >= 2, pos
+    any_tail = False
+    for s in range(6):
+        r = csr_sample_neighbors(
+            jnp.asarray(row_ptr), jnp.asarray(col),
+            jnp.asarray(np.array([7] * 8, np.int32)), 5,
+            seed=s, weights=jnp.asarray(weights), max_degree=deg_hi,
+        )
+        any_tail |= bool((np.asarray(r.positions)[0] >= 512).any())
+    assert any_tail
+
+
 def test_weighted_bias():
     """Heavier edges must be sampled more often (A-Res property)."""
     row_ptr = np.array([0, 10], np.int64)

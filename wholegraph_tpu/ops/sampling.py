@@ -172,12 +172,18 @@ def _sample_positions_weighted(
     chunk: int = 512,
 ):
     """A-Res: key_e = log(u_e)/w_e, keep top-K keys (reference
-    weighted_sample_without_replacement_func.cuh:45-61)."""
+    weighted_sample_without_replacement_func.cuh:45-61).
+
+    Cost is proportional to the BATCH's actual max degree, not the graph's:
+    a ``lax.switch`` over a power-of-two ladder of precompiled chunk counts
+    picks, at runtime on device, the smallest level covering
+    ``max(deg)`` — the static-shape analog of the reference's
+    actual-degree-proportional warp top-K (func.cuh:169-219).  Chunks past a
+    center's degree contribute only -inf keys, so every ladder level is
+    bit-identical on the centers it covers."""
     B = deg.shape[0]
-    nchunks = max(-(-max_degree // chunk), 1)
+    total_chunks = max(-(-max_degree // chunk), 1)
     neg_inf = jnp.float32(-jnp.inf)
-    best_keys = jnp.full((B, K), neg_inf, jnp.float32)
-    best_pos = jnp.zeros((B, K), jnp.int32)
 
     def body(c, carry):
         best_keys, best_pos = carry
@@ -197,7 +203,34 @@ def _sample_positions_weighted(
         topk, topi = lax.top_k(merged_keys, K)
         return topk, jnp.take_along_axis(merged_pos, topi, axis=1)
 
-    best_keys, best_pos = lax.fori_loop(0, nchunks, body, (best_keys, best_pos))
+    def run_level(nchunks):
+        def branch(_):
+            init = (
+                jnp.full((B, K), neg_inf, jnp.float32),
+                jnp.zeros((B, K), jnp.int32),
+            )
+            return lax.fori_loop(0, nchunks, body, init)
+
+        return branch
+
+    levels = []
+    c = 1
+    while c < total_chunks:
+        levels.append(c)
+        c *= 2
+    levels.append(total_chunks)
+
+    if len(levels) == 1:
+        best_keys, best_pos = run_level(total_chunks)(None)
+    else:
+        needed = -(-jnp.max(deg) // chunk)  # chunks the batch actually needs
+        idx = jnp.sum(needed > jnp.asarray(levels, jnp.int32)).astype(jnp.int32)
+        best_keys, best_pos = lax.switch(
+            jnp.clip(idx, 0, len(levels) - 1),
+            [run_level(l) for l in levels],
+            None,
+        )
+
     slots = jnp.arange(K, dtype=jnp.int32)[None, :]
     mask = (slots < jnp.minimum(deg, K)[:, None]) & (best_keys > neg_inf)
     return jnp.where(mask, best_pos, 0), mask
