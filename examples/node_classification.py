@@ -88,10 +88,13 @@ def main():
     else:
         estate = emb.init(jax.random.PRNGKey(args.seed))
 
-    # read-only cache tier (reference cache-type/cache-ratio options):
-    # replicate the hottest rows; incompatible with a trainable table
+    # cache tier (reference cache-type/cache-ratio options): replicate the
+    # hottest rows.  Composes with --train-embedding: sparse updates
+    # invalidate touched hot lines (served as misses until the per-epoch
+    # refresh re-captures them) — the reference's trainable-cache
+    # writeback/drop semantics (embedding.h:220-244).
     cache = None
-    if args.cache_type != "none" and not args.train_embedding:
+    if args.cache_type != "none":
         from wholegraph_tpu.embedding.cache import build_hot_cache, hot_ids_by_degree
         from wholegraph_tpu.memory import ShardedTable
 
@@ -129,7 +132,7 @@ def main():
     if weighted_sampling and g.edge_weight is None:
         raise SystemExit("--sample-method weighted needs a graph with edge weights")
 
-    def fetch_rows(estate, ml):
+    def fetch_rows(estate, ml, cache):
         if cache is not None:
             from wholegraph_tpu.embedding.cache import gather_with_cache
             from wholegraph_tpu.memory import ShardedTable
@@ -138,12 +141,12 @@ def main():
             return gather_with_cache(tab, cache, ml.unique_gids)
         return emb.gather(estate, ml.unique_gids)
 
-    def _train_body(params, estate, opt_state, centers, labels, seed, dropout_key):
+    def _train_body(params, estate, opt_state, cache, centers, labels, seed, dropout_key):
         ml = g.multilayer_sample(
             centers, fanouts, seed=seed, weighted=weighted_sampling
         )
         ids = ml.unique_gids
-        rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
+        rows = fetch_rows(estate, ml, cache) * ml.unique_mask[:, None]
 
         def loss_fn(p, r):
             logits = model.apply(
@@ -160,28 +163,35 @@ def main():
             estate = emb.apply_gradients(
                 estate, ids, dr, args.lr * 0.1, mask=ml.unique_mask
             )
-        return params, estate, opt_state, loss, accuracy(logits, labels)
+            if cache is not None:
+                # trainable + cache: stale touched lines until the per-epoch
+                # refresh (reference writeback/drop, embedding.h:220-244)
+                from wholegraph_tpu.embedding.cache import invalidate_touched
+
+                cache = invalidate_touched(cache, jnp.where(ml.unique_mask, ids, -1))
+        return params, estate, opt_state, cache, loss, accuracy(logits, labels)
 
     train_step = functools.partial(jax.jit, donate_argnums=(1,))(_train_body)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def train_epoch_scan(params, estate, opt_state, centers_s, labels_s, seeds, keys):
+    def train_epoch_scan(params, estate, opt_state, cache, centers_s, labels_s, seeds, keys):
         """Whole epoch in one compiled scan: S steps with zero host round
         trips (the lax.scan idiom; sampling is traced per step)."""
 
         def body(carry, batch):
-            params, estate, opt_state = carry
+            params, estate, opt_state, cache = carry
             centers, labels, seed, key = batch
-            params, estate, opt_state, loss, _ = _train_body(
-                params, estate, opt_state, centers, labels, seed, key
+            params, estate, opt_state, cache, loss, _ = _train_body(
+                params, estate, opt_state, cache, centers, labels, seed, key
             )
-            return (params, estate, opt_state), loss
+            return (params, estate, opt_state, cache), loss
 
-        (params, estate, opt_state), losses = jax.lax.scan(
-            body, (params, estate, opt_state), (centers_s, labels_s, seeds, keys)
+        (params, estate, opt_state, cache), losses = jax.lax.scan(
+            body, (params, estate, opt_state, cache), (centers_s, labels_s, seeds, keys)
         )
-        return params, estate, opt_state, losses
+        return params, estate, opt_state, cache, losses
 
+    full_graph = bool(args.full_graph_eval)
     if args.full_graph_eval:
         fg = g.to_full_graph()
         n_pad = -ds.node_count % world
@@ -209,11 +219,11 @@ def main():
     else:
 
         @jax.jit
-        def eval_step(params, estate, centers, labels):
+        def eval_step(params, estate, cache, centers, labels):
             ml = g.multilayer_sample(
                 centers, fanouts, seed=0, weighted=weighted_sampling
             )
-            rows = fetch_rows(estate, ml) * ml.unique_mask[:, None]
+            rows = fetch_rows(estate, ml, cache) * ml.unique_mask[:, None]
             logits = model.apply(params, rows, sample=ml, train=False)
             return cross_entropy_loss(logits, labels), accuracy(logits, labels)
 
@@ -224,9 +234,15 @@ def main():
         for centers, labels in batch_iterator(
             split, batchsize, shuffle=False, seed=seed
         ):
-            loss, acc = eval_step(
-                params, estate, put(centers, P("data")), put(labels, P("data"))
-            )
+            if full_graph:
+                loss, acc = eval_step(
+                    params, estate, put(centers, P("data")), put(labels, P("data"))
+                )
+            else:
+                loss, acc = eval_step(
+                    params, estate, cache,
+                    put(centers, P("data")), put(labels, P("data")),
+                )
             accs.append(float(acc))
             losses.append(float(loss))
         return float(np.mean(losses)), float(np.mean(accs))
@@ -244,8 +260,8 @@ def main():
             labels_s = put(np.stack([b[1] for b in batches]), P(None, "data"))
             seeds = jnp.arange(global_step, global_step + S, dtype=jnp.int32)
             keys = jax.vmap(jax.random.PRNGKey)(seeds)
-            params, estate, opt_state, losses = train_epoch_scan(
-                params, estate, opt_state, centers_s, labels_s, seeds, keys
+            params, estate, opt_state, cache, losses = train_epoch_scan(
+                params, estate, opt_state, cache, centers_s, labels_s, seeds, keys
             )
             ep_losses = list(np.asarray(losses))
             global_step += S
@@ -254,13 +270,21 @@ def main():
             for centers, labels in batch_iterator(
                 ds.train, args.batchsize, seed=args.seed + epoch
             ):
-                params, estate, opt_state, loss, acc = train_step(
-                    params, estate, opt_state,
+                params, estate, opt_state, cache, loss, acc = train_step(
+                    params, estate, opt_state, cache,
                     put(centers, P("data")), put(labels, P("data")),
                     global_step, jax.random.PRNGKey(global_step),
                 )
                 ep_losses.append(float(loss))
                 global_step += 1
+        if cache is not None and train_emb:
+            # per-epoch re-capture of invalidated hot lines (writeback analog)
+            from wholegraph_tpu.embedding.cache import refresh_hot_cache
+            from wholegraph_tpu.memory import ShardedTable as _ST
+
+            cache = refresh_hot_cache(
+                _ST(estate.table, emb.plan, mesh, emb.axis), cache
+            )
         epoch_time = time.perf_counter() - t0
         vloss, vacc = run_eval(ds.valid, args.valid_batchsize, epoch)
         print(

@@ -58,6 +58,68 @@ def test_hot_ids_by_degree():
     assert set(hot) == {0, 2}
 
 
+def test_cold_wave_exactness_tiny_cold_cap(mesh8):
+    """Miss-heavy batch with a tiny cold buffer: the wave loop must serve
+    every miss exactly (no cold-capacity drops — r1 weak #8)."""
+    n, dim, B = 512, 16, 256
+    ref = deterministic_rows(n, dim) + 1.0
+    tab = ShardedTable.from_array(mesh8, ref)
+    cache = build_hot_cache(tab, np.array([0]))  # ~nothing hot: all misses
+    ids = np.random.RandomState(3).randint(1, n, B)
+    ids_dev = jax.device_put(jnp.asarray(ids), NamedSharding(mesh8, P("data")))
+    out = gather_with_cache(tab, cache, ids_dev, cold_capacity_factor=0.1)
+    np.testing.assert_allclose(np.asarray(out), ref[ids], rtol=1e-6)
+
+
+def test_trainable_with_cache_matches_uncached(mesh8):
+    """--train-embedding + cache parity (VERDICT r1 next #6): training with
+    cached gathers + invalidate-on-update must equal uncached training -
+    stale lines are served as misses, so values are never stale."""
+    from wholegraph_tpu.embedding import Embedding, LazyAdam
+    from wholegraph_tpu.embedding.cache import invalidate_touched, refresh_hot_cache
+
+    n, dim, B = 256, 16, 128
+    init = deterministic_rows(n, dim)
+    mk = lambda: Embedding.create(mesh8, n, dim, optimizer=LazyAdam())
+    emb_a, emb_b = mk(), mk()
+    sa, sb = emb_a.from_array(init), emb_b.from_array(init)
+    tab_b = ShardedTable(sb.table, emb_b.plan, mesh8, emb_b.axis)
+    cache = build_hot_cache(tab_b, np.arange(0, n, 2))
+
+    rng = np.random.RandomState(9)
+    tgt = rng.randn(B, dim).astype(np.float32)
+    ids = rng.randint(0, n, B).astype(np.int64)
+    i = jax.device_put(jnp.asarray(ids), NamedSharding(mesh8, P("data")))
+    t = jax.device_put(jnp.asarray(tgt), NamedSharding(mesh8, P("data", None)))
+
+    def loss(rows, t):
+        return jnp.mean((rows - t) ** 2)
+
+    for step in range(4):
+        # uncached reference path
+        rows_a = emb_a.gather(sa, i)
+        la, da = jax.value_and_grad(loss)(rows_a, t)
+        sa = emb_a.apply_gradients(sa, i, da, 0.1)
+        # cached path: gather through the cache, then invalidate touched
+        tab_b = ShardedTable(sb.table, emb_b.plan, mesh8, emb_b.axis)
+        rows_b = gather_with_cache(tab_b, cache, i, cold_capacity_factor=1.0)
+        lb, db = jax.value_and_grad(loss)(rows_b, t)
+        sb = emb_b.apply_gradients(sb, i, db, 0.1)
+        cache = invalidate_touched(cache, i)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+    np.testing.assert_allclose(
+        emb_a.to_array(sa), emb_b.to_array(sb), rtol=1e-5, atol=1e-6
+    )
+    # periodic refresh restores validity and the new values
+    tab_b = ShardedTable(sb.table, emb_b.plan, mesh8, emb_b.axis)
+    cache = refresh_hot_cache(tab_b, cache)
+    assert bool(jnp.all(cache.valid))
+    np.testing.assert_allclose(
+        np.asarray(cache.values), emb_b.to_array(sb)[::2], rtol=1e-6
+    )
+
+
 def test_refresh_hot_cache(mesh8):
     from wholegraph_tpu.embedding.cache import refresh_hot_cache
 

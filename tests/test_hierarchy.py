@@ -42,6 +42,43 @@ def test_hierarchical_gather_1d(hier_mesh):
     np.testing.assert_allclose(np.asarray(out), ref[ids])
 
 
+def test_hierarchy_table_and_dispatch(hier_mesh):
+    """r1 weak #9: hierarchy is reachable from the table API — a
+    ShardedTable sharded over ('node', 'device') dispatches
+    method='hierarchy' to the two-stage exchange and the default exact a2a
+    over the tuple axis; an Embedding trains on the same mesh."""
+    n, dim, B = 800, 16, 128
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(hier_mesh, ref, axis=("node", "device"))
+    ids = np.random.RandomState(2).randint(0, n, B).astype(np.int64)
+    ids_dev = jax.device_put(
+        jnp.asarray(ids), NamedSharding(hier_mesh, P(("node", "device")))
+    )
+    out_h = tab.gather(ids_dev, method="hierarchy")
+    np.testing.assert_allclose(np.asarray(out_h), ref[ids])
+    # flat exact a2a over the tuple axis (XLA collectives accept the tuple)
+    out_flat = tab.gather(ids_dev)
+    np.testing.assert_allclose(np.asarray(out_flat), ref[ids])
+
+    # trainable embedding over the hierarchy mesh (flat tuple-axis exchange)
+    from wholegraph_tpu.embedding import Embedding, SGD
+
+    emb = Embedding.create(
+        hier_mesh, n, dim, optimizer=SGD(), axis=("node", "device")
+    )
+    state = emb.from_array(ref)
+    grads = jax.device_put(
+        jnp.ones((B, dim), jnp.float32),
+        NamedSharding(hier_mesh, P(("node", "device"), None)),
+    )
+    state = emb.apply_gradients(state, ids_dev, grads, 0.5)
+    got = emb.to_array(state)
+    expect = ref.copy()
+    uniq, counts = np.unique(ids, return_counts=True)
+    expect[uniq] -= 0.5 * counts[:, None]  # SGD, duplicate grads summed
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
 def _phys(ref, plan):
     shape = (plan.total_physical_rows,) + ref.shape[1:]
     phys = np.zeros(shape, ref.dtype)

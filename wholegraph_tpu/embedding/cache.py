@@ -40,13 +40,20 @@ Array = jax.Array
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HotCache:
-    """Replicated hot rows: sorted ids + values (replicated on every device)."""
+    """Replicated hot rows: sorted ids + values (replicated on every device).
+
+    ``valid`` supports TRAINABLE tables: a sparse update invalidates the
+    touched hot lines (:func:`invalidate_touched` — the static-shape analog
+    of the reference's cache drop, embedding.h:220-244 drop_all/writeback);
+    invalid lines are served as misses until :func:`refresh_hot_cache`
+    re-captures them (e.g. once per epoch)."""
 
     hot_ids: Array  # [H] sorted int32
     values: Array  # [H, D]
+    valid: Array  # [H] bool — False = stale (serve as miss)
 
     def tree_flatten(self):
-        return (self.hot_ids, self.values), None
+        return (self.hot_ids, self.values, self.valid), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -68,18 +75,37 @@ def build_hot_cache(table: ShardedTable, hot_ids: np.ndarray) -> HotCache:
     return HotCache(
         hot_ids=jax.device_put(jnp.asarray(hot_ids, jnp.int32), rep),
         values=jax.device_put(jnp.asarray(rows), rep),
+        valid=jax.device_put(jnp.ones((len(hot_ids),), bool), rep),
     )
 
 
 def refresh_hot_cache(table: ShardedTable, cache: HotCache) -> HotCache:
-    """Re-fill the replica from the current table — the analog of the
-    reference's cache writeback/drop_all maintenance
+    """Re-fill the replica from the current table and re-validate every line
+    — the analog of the reference's cache writeback/drop_all maintenance
     (wholememory_embedding_writeback_cache / drop_all_cache,
-    embedding.h:220-244).  Our cache is read-only so "writeback" is a no-op;
-    refreshing re-captures rows after out-of-band table updates."""
+    embedding.h:220-244).  With the invalidation protocol this is the
+    periodic re-capture after training steps."""
     import jax as _jax
 
     return build_hot_cache(table, np.asarray(_jax.device_get(cache.hot_ids)))
+
+
+def invalidate_touched(cache: HotCache, ids: Array) -> HotCache:
+    """Mark hot lines whose ids appear in this update batch as stale — call
+    (inside the jitted train step) after ``Embedding.apply_gradients`` when
+    the cached table is trainable.  The static-shape analog of
+    update_cache_direct: instead of pushing new values into a replicated
+    cache, drop the lines and let :func:`refresh_hot_cache` re-capture them
+    (e.g. once per epoch).  Pure jnp — GSPMD inserts the cross-device union
+    when ``ids`` is sharded and ``valid`` replicated."""
+    H = cache.size
+    ids32 = jnp.asarray(ids).astype(jnp.int32)
+    posc = jnp.minimum(jnp.searchsorted(cache.hot_ids, ids32), H - 1)
+    hit = cache.hot_ids[posc] == ids32
+    touched = (
+        jnp.zeros((H,), jnp.int32).at[jnp.where(hit, posc, H)].set(1, mode="drop")
+    )
+    return dataclasses.replace(cache, valid=cache.valid & (touched == 0))
 
 
 def hot_ids_by_degree(row_ptr: np.ndarray, ratio: float) -> np.ndarray:
@@ -95,6 +121,7 @@ def _gather_cached_shard(
     shard: Array,
     hot_ids: Array,
     hot_vals: Array,
+    hot_valid: Array,
     ids: Array,
     *,
     plan,
@@ -102,24 +129,46 @@ def _gather_cached_shard(
     cap: int,
     cold_cap: int,
 ):
-    """Per-device cached gather: serve hits from the replica, pack misses
-    into a cold buffer, exchange only the cold buffer."""
+    """Per-device cached gather: serve hits from the (valid lines of the)
+    replica, pack misses into a cold buffer sized ``cold_cap``, exchange the
+    cold buffer — repeating in waves under a while_loop until every miss is
+    served (no silent cold-capacity drops; heavy-miss batches pay extra
+    waves instead)."""
     B = ids.shape[0]
     idt = _index_dtype(plan)
     ids = ids.astype(idt)
     pos = jnp.searchsorted(hot_ids.astype(idt), ids)
     posc = jnp.minimum(pos, hot_ids.shape[0] - 1)
-    hit = hot_ids.astype(idt)[posc] == ids
+    hit = (hot_ids.astype(idt)[posc] == ids) & hot_valid[posc]
     hot_rows = jnp.take(hot_vals, posc, axis=0)
 
-    order = jnp.argsort(hit, stable=True)  # misses (False) first
-    cold_valid = ~hit[order][:cold_cap]
-    cold_ids = jnp.where(cold_valid, ids[order][:cold_cap], 0)
-    cold_rows = _gather_shard_a2a(shard, cold_ids, plan=plan, axis=axis, cap=cap)
+    out = jnp.where(hit[:, None], hot_rows.astype(shard.dtype), 0)
+    served0 = hit
 
-    out = jnp.where(hit[:, None], hot_rows.astype(cold_rows.dtype), 0)
-    scatter_pos = jnp.where(cold_valid, order[:cold_cap], B)
-    return out.at[scatter_pos].set(cold_rows, mode="drop")
+    def wave(out, served):
+        order = jnp.argsort(jnp.where(served, 1, 0), stable=True)  # unserved first
+        sel = order[:cold_cap]
+        take = ~served[sel]
+        cold_ids = jnp.where(take, ids[sel], 0)
+        cold_rows = _gather_shard_a2a(shard, cold_ids, plan=plan, axis=axis, cap=cap)
+        wpos = jnp.where(take, sel, B)
+        out = out.at[wpos].set(cold_rows, mode="drop")
+        served = served.at[wpos].set(True, mode="drop")
+        return out, served
+
+    def remaining(served):
+        return jax.lax.psum(jnp.sum(~served).astype(jnp.int32), axis)
+
+    out, served = wave(out, served0)
+
+    def body(state):
+        out, served = wave(state[0], state[1])
+        return out, served, remaining(served)
+
+    out, served, _ = jax.lax.while_loop(
+        lambda s: s[2] > 0, body, (out, served, remaining(served))
+    )
+    return out
 
 
 def gather_with_cache(
@@ -142,7 +191,7 @@ def gather_with_cache(
 
         posc = jnp.minimum(jnp.searchsorted(cache.hot_ids, ids.astype(jnp.int32)),
                            cache.size - 1)
-        hit = cache.hot_ids[posc] == ids.astype(jnp.int32)
+        hit = (cache.hot_ids[posc] == ids.astype(jnp.int32)) & cache.valid[posc]
         hot = jnp.take(cache.values, posc, axis=0)
         cold = local_take(table.data, phys)
         return jnp.where(hit[:, None], hot.astype(cold.dtype), cold)
@@ -155,7 +204,7 @@ def gather_with_cache(
     cap = _bucket_cap(cold_cap, world, capacity_factor)
 
     fn = _build_cached_gather_fn(plan, mesh, axis, cap, cold_cap)
-    return fn(table.data, cache.hot_ids, cache.values, ids)
+    return fn(table.data, cache.hot_ids, cache.values, cache.valid, ids)
 
 
 @functools.lru_cache(maxsize=None)
@@ -167,7 +216,7 @@ def _build_cached_gather_fn(plan, mesh, axis, cap, cold_cap):
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis, None), P(), P(None, None), P(axis)),
+            in_specs=(P(axis, None), P(), P(None, None), P(), P(axis)),
             out_specs=P(axis, None),
             check_vma=False,
         )

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..memory.partition import PartitionPlan
 from ..ops.gather import (
     _bucket_cap,
+    axis_size as _axis_size,
     bucket_by_owner,
     gather as _gather_rows,
     index_dtype as _index_dtype,
@@ -120,7 +121,10 @@ def exchange_grads_exact(uids_l, ugrads_l, *, plan, axis, cap):
         uids_l < oob, plan.owner(jnp.where(uids_l < oob, uids_l, 0)), world
     ).astype(jnp.int32)
     B_local = uids_l.shape[0]
-    P = world * B_local  # receiver worst case: every global batch id is mine
+    # receiver worst case: every global batch id is mine — but I can never
+    # receive more UNIQUE ids than rows I own, so cap at the shard capacity
+    # (sources pre-dedup, receivers re-dedup each round, so the bound holds)
+    P = min(world * B_local, -(-plan.capacity // 8) * 8)
     pend_ids = jnp.full((P,), oob, uids_l.dtype)
     pend_grads = jnp.zeros((P, ugrads_l.shape[1]), jnp.float32)
 
@@ -282,7 +286,7 @@ class Embedding:
         axis: str = "data",
         plan: Optional[PartitionPlan] = None,
     ) -> "Embedding":
-        world = mesh.shape[axis]
+        world = _axis_size(mesh, axis)
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..memory.partition import PartitionPlan
 from ..ops.gather import (
     _bucket_cap,
+    axis_size as _axis_size,
     gather_exact_loop,
     index_dtype as _index_dtype,
 )
@@ -237,7 +238,7 @@ class HostEmbedding:
     ) -> "HostEmbedding":
         """cache_ratio mirrors the reference's cache_ratio policy knob
         (embedding.h cache policy; embedding_cache.hpp:27-33)."""
-        world = mesh.shape[axis]
+        world = _axis_size(mesh, axis)
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")

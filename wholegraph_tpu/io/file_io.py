@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..memory.partition import PartitionPlan
+from ..ops.gather import axis_size as _axis_size
 from ..memory.sharded_table import ShardedTable
 from ..utils import logger
 from ..utils.error import check_input
@@ -96,7 +97,7 @@ def load_filelist(
     n = sum(counts)
     if expected_rows is not None:
         check_input(n == expected_rows, f"filelist has {n} rows, expected {expected_rows}")
-    world = mesh.shape[axis]
+    world = _axis_size(mesh, axis)
     if plan is None:
         plan = (
             PartitionPlan.round_robin(n, world, round_robin_size)

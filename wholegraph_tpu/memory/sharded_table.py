@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.gather import gather as _gather_rows, scatter as _scatter_rows
+from ..ops.gather import axis_size as _axis_size, gather as _gather_rows, scatter as _scatter_rows
 from ..utils.error import check_input
 from .partition import PartitionPlan
 
@@ -120,7 +120,7 @@ class ShardedTable:
         """Collectively allocate a zero/initialised table (create_wholememory
         analog, memory_handle.cpp:1793).  location='host' allocates in pinned
         host memory (staging tier — see :attr:`location`)."""
-        world = mesh.shape[axis]
+        world = _axis_size(mesh, axis)
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")
@@ -161,7 +161,7 @@ class ShardedTable:
         permuting rows into the physical partition layout."""
         arr = np.asarray(arr)
         n = arr.shape[0]
-        world = mesh.shape[axis]
+        world = _axis_size(mesh, axis)
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")

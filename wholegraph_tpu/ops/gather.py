@@ -56,6 +56,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def axis_size(mesh: Mesh, axis) -> int:
+    """Devices along ``axis`` — a mesh axis name or a tuple of names (tables
+    sharded over a hierarchy mesh use ``axis=('node', 'device')``; XLA
+    collectives accept the tuple directly)."""
+    if isinstance(axis, tuple):
+        out = 1
+        for a in axis:
+            out *= mesh.shape[a]
+        return out
+    return mesh.shape[axis]
+
+
 def index_dtype(plan: PartitionPlan):
     """int32 index dtype with an explicit guard: with jax x64 disabled an
     int64 fallback would silently truncate, so tables past 2^31 physical
@@ -651,7 +663,9 @@ def gather(
       method: 'a2a' (default — EXACT multi-round padded-bucket all-to-all;
         never drops), 'a2a_capped' (single round, bucket-overflow ids are
         dropped to zero rows — monitor with :func:`gather_overflow`),
-        'ragged' (exact alltoallv; TPU only), 'allgather' (exact, W× comm).
+        'ragged' (exact alltoallv; TPU only), 'allgather' (exact, W× comm),
+        'hierarchy' (two-stage node×device routing; requires
+        ``axis=(node_axis, device_axis)`` — a hierarchy-mesh table).
       capacity_factor: per-owner, per-round bucket headroom over the uniform
         load.  For 'a2a' this is a performance knob (skew beyond it costs
         extra rounds, never correctness); for 'a2a_capped' it bounds drops.
@@ -659,7 +673,7 @@ def gather(
       rows ``[B, D]`` with the same sharding as ``ids``.
     """
     world = plan.world
-    check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
+    check_input(axis_size(mesh, axis) == world, "mesh axis size != plan.world")
     if world == 1:
         phys = plan.physical_index(ids)
         return local_take(data, phys)
@@ -673,6 +687,16 @@ def gather(
 
     if method == "auto":
         method = "a2a"
+
+    if method == "hierarchy":
+        check_input(
+            isinstance(axis, tuple) and len(axis) == 2,
+            "method='hierarchy' needs a 2-axis table (axis=(node, device))",
+        )
+        return gather_hierarchical(
+            data, ids, plan=plan, mesh=mesh, node_axis=axis[0],
+            device_axis=axis[1], capacity_factor=capacity_factor,
+        )
 
     B_global = ids.shape[0]
     check_input(B_global % world == 0, "global batch must divide mesh axis")
@@ -751,7 +775,7 @@ def scatter(
     double-buffering of a huge table; the input array becomes invalid).
     """
     world = plan.world
-    check_input(mesh.shape[axis] == world, "mesh axis size != plan.world")
+    check_input(axis_size(mesh, axis) == world, "mesh axis size != plan.world")
     if world == 1:
         phys = plan.physical_index(ids)
         if accumulate:
