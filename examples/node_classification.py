@@ -122,8 +122,24 @@ def main():
     it = batch_iterator(ds.train, args.batchsize, seed=args.seed)
     centers0, labels0 = next(it)
     ml0 = g.multilayer_sample(put(centers0, P("data")), fanouts, seed=0)
-    x0 = emb.gather(estate, ml0.unique_gids)
+    x0 = emb.gather(estate, ml0.unique_gids, capacity_factor=args.capacity_factor)
     params = model.init(jax.random.PRNGKey(args.seed), x0, sample=ml0)
+
+    # skew probe (overflow observability, exact exchange pays extra ROUNDS
+    # instead of dropping; reference alltoallv is dynamic): report how many
+    # ids of a probe batch exceed the per-round bucket capacity
+    if world > 1:
+        from wholegraph_tpu.ops.gather import gather_overflow
+
+        ov = int(gather_overflow(
+            ml0.unique_gids, plan=emb.plan, mesh=mesh,
+            capacity_factor=args.capacity_factor,
+        )[0])
+        if ov:
+            print(f"[SKEW] probe batch: {ov} ids over the per-round bucket "
+                  f"capacity (capacity_factor={args.capacity_factor}) - the "
+                  f"exact exchange will pay extra rounds; consider raising "
+                  f"--capacity-factor")
     dense_opt = optax.adam(args.lr)
     opt_state = dense_opt.init(params)
 
@@ -138,8 +154,12 @@ def main():
             from wholegraph_tpu.memory import ShardedTable
 
             tab = ShardedTable(estate.table, emb.plan, mesh, emb.axis)
-            return gather_with_cache(tab, cache, ml.unique_gids)
-        return emb.gather(estate, ml.unique_gids)
+            return gather_with_cache(
+                tab, cache, ml.unique_gids, capacity_factor=args.capacity_factor
+            )
+        return emb.gather(
+            estate, ml.unique_gids, capacity_factor=args.capacity_factor
+        )
 
     def _train_body(params, estate, opt_state, cache, centers, labels, seed, dropout_key):
         ml = g.multilayer_sample(
@@ -161,7 +181,8 @@ def main():
         params = optax.apply_updates(params, updates)
         if train_emb:
             estate = emb.apply_gradients(
-                estate, ids, dr, args.lr * 0.1, mask=ml.unique_mask
+                estate, ids, dr, args.lr * 0.1, mask=ml.unique_mask,
+                capacity_factor=args.capacity_factor,
             )
             if cache is not None:
                 # trainable + cache: stale touched lines until the per-epoch

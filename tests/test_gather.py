@@ -60,6 +60,22 @@ def test_gather_skewed_ids(mesh8, plan_kind):
     np.testing.assert_allclose(np.asarray(out), ref[ids])
 
 
+def test_gather_dedup_heuristic(mesh8):
+    """dedup=True (reference sorted-unique-ids heuristic,
+    gather_op.cpp:118-120) must be value-identical to the plain path on a
+    duplicate-heavy batch."""
+    n, dim, B = 500, 16, 256
+    tab, ref = make_table(mesh8, n, dim)
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, 40, B).astype(np.int64)  # heavy duplication
+    out = tab.gather(put_ids(mesh8, ids), dedup=True)
+    np.testing.assert_allclose(np.asarray(out), ref[ids], rtol=0, atol=0)
+    # and under skew (all duplicates of one shard's rows)
+    ids2 = np.full(B, 7, np.int64)
+    out2 = tab.gather(put_ids(mesh8, ids2), dedup=True, capacity_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out2), ref[ids2])
+
+
 def test_gather_int32_ids(mesh8):
     n, dim, B = 300, 8, 64
     tab, ref = make_table(mesh8, n, dim)

@@ -92,6 +92,27 @@ def test_padded_reduce_tpu_fast_path():
         np.testing.assert_allclose(out[i], e, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_padded_sum_correct_and_grad():
+    """SpMM v2: the fused DMA-ring + VMEM-accumulate kernel matches the
+    dense masked reduce, including masked-slot DMA skipping and the VJP."""
+    from wholegraph_tpu.ops.spmm_pallas import fused_padded_sum
+
+    U, D, B, K = 30_000, 256, 777, 13  # odd B/K: exercises block padding
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(U, D).astype(np.float32))
+    nbr = jnp.asarray(rs.randint(0, U, (B, K)).astype(np.int32))
+    mask = jnp.asarray(rs.rand(B, K) > 0.4)
+    out = np.asarray(fused_padded_sum(x, nbr, mask))
+    xn, nn, mn = np.asarray(x), np.asarray(nbr), np.asarray(mask)
+    for i in range(0, B, 61):
+        e = xn[nn[i][mn[i]]].sum(0) if mn[i].any() else np.zeros(D)
+        np.testing.assert_allclose(out[i], e, rtol=1e-4, atol=1e-4)
+    # VJP: d/dx of sum(out) counts each node's masked occurrences
+    g = jax.grad(lambda t: fused_padded_sum(t, nbr, mask).sum())(x)
+    counts = np.bincount(nn[mn].reshape(-1), minlength=U)
+    np.testing.assert_allclose(np.asarray(g[:, 0]), counts * 1.0, rtol=1e-5)
+
+
 def test_sampler_element_fetch_parity():
     """The TPU element-fetch fast path must keep the sampler bit-exact vs
     the host replay (large batch to trigger the pallas path)."""
@@ -111,6 +132,61 @@ def test_sampler_element_fetch_parity():
     np.testing.assert_array_equal(
         np.asarray(res.neighbors) * h_mask, h_nbrs * h_mask
     )
+
+
+def test_weighted_sampling_parity_tpu():
+    """Weighted A-Res sampler on real TPU hardware: bit-exact vs the host
+    replay, through the degree-ladder lax.switch (r1 weak #5)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from wholegraph_tpu.testing import host_sample_weighted, random_csr
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    row_ptr, col = random_csr(300, avg_deg=18, seed=7, max_deg=900)
+    weights = (np.random.RandomState(8).rand(row_ptr[-1]) + 0.1).astype(np.float32)
+    centers = np.random.RandomState(9).randint(0, 300, 64)
+    K = 6
+    res = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,
+        seed=21, hop=1, weights=jnp.asarray(weights),
+        max_degree=16384,  # forces a multi-level ladder
+    )
+    h_nbrs, h_mask, h_pos = host_sample_weighted(
+        row_ptr, col, weights, centers, K, seed=21, hop=1
+    )
+    np.testing.assert_array_equal(np.asarray(res.mask), h_mask)
+    np.testing.assert_array_equal(np.asarray(res.positions) * h_mask, h_pos * h_mask)
+
+
+def test_host_dma_masked_gather_scatter():
+    """Pinned-host pallas DMA path (device_cached_host cold fetch): masked
+    gather from and scatter to a pltpu.MemorySpace.HOST memref."""
+    from jax.sharding import SingleDeviceSharding
+
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_masked, scatter_rows_masked
+
+    dev = jax.devices()[0]
+    N, D, B = 50_000, 256, 2048
+    table = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
+    table_h = jax.device_put(table, SingleDeviceSharding(dev, memory_kind="pinned_host"))
+    rs = np.random.RandomState(1)
+    slots = rs.randint(0, N, B).astype(np.int32)
+    slots[::3] = -1  # masked: skipped DMAs, garbage rows
+    out = gather_rows_masked(table_h, jnp.asarray(slots), host_table=True)
+    valid = slots >= 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(table)[slots[valid]], rtol=1e-6
+    )
+    # scatter back: masked slots untouched
+    uniq = np.unique(slots[valid])[:512].astype(np.int32)
+    wslots = np.full(1024, -1, np.int32)
+    wslots[: len(uniq)] = uniq
+    rows = jnp.ones((1024, D), jnp.float32) * 7.0
+    new_h = scatter_rows_masked(table_h, jnp.asarray(wslots), rows, host_table=True)
+    got = np.asarray(jax.device_get(new_h))
+    np.testing.assert_allclose(got[uniq], 7.0)
+    untouched = np.setdiff1d(np.arange(N), uniq)[:500]
+    np.testing.assert_allclose(got[untouched], np.asarray(table)[untouched], rtol=1e-6)
 
 
 def test_gather_rows_pallas_bf16():

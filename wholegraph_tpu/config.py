@@ -27,6 +27,10 @@ def add_training_options(ap: argparse.ArgumentParser) -> None:
                    help="train the feature table with a sparse optimizer")
     g.add_argument("--embed-optimizer", default="lazy_adam",
                    choices=["sgd", "lazy_adam", "rms_prop", "ada_grad"])
+    g.add_argument("--capacity-factor", type=float, default=2.0,
+                   help="per-round bucket headroom for the exact a2a exchange; "
+                        "skew beyond it costs extra exchange rounds (never "
+                        "correctness) - raise if the [SKEW] probe reports overflow")
     g.add_argument("--seed", type=int, default=0)
 
 

@@ -152,13 +152,24 @@ class GraphStructure:
     def to_full_graph(self):
         """COO view for exact full-graph passes: messages flow col→row, edges
         already grouped by destination (CSR order).  Returns a FullGraph for
-        models.conv layers."""
+        models.conv layers.
+
+        The dst expansion runs on device (searchsorted over row_ptr — O(E
+        log N) on the VPU instead of a host np.repeat materialisation), so
+        eval-scale graphs never round-trip E-sized buffers through numpy."""
         from ..models.conv import FullGraph
 
-        rp = np.asarray(self.row_ptr)
-        deg = np.diff(rp)
-        edge_dst = jnp.asarray(
-            np.repeat(np.arange(self.node_count, dtype=np.int64), deg), jnp.int32
+        rp = (
+            jnp.asarray(self.row_ptr.to_array())
+            if hasattr(self.row_ptr, "to_array")
+            else jnp.asarray(self.row_ptr)
+        )
+        # edge e belongs to the row whose ptr range contains it
+        edge_dst = (
+            jnp.searchsorted(
+                rp, jnp.arange(self.edge_count, dtype=rp.dtype), side="right"
+            ).astype(jnp.int32)
+            - 1
         )
         return FullGraph(
             edge_src=jnp.asarray(self.col)

@@ -266,6 +266,7 @@ def _gather_shard_a2a(
     axis: str,
     cap: int,
     exact: bool = True,
+    dedup: bool = False,
 ):
     """Per-device distributed gather: bucket → a2a ids → local take → a2a rows
     → un-permute (gather_op_impl_nccl.cu:101-170 analog).
@@ -273,12 +274,31 @@ def _gather_shard_a2a(
     With ``exact=True`` (default) the round repeats under a ``while_loop``
     until every id is delivered — the static-shape equivalent of the
     reference's dynamic alltoallv, which never drops.  ``exact=False`` is the
-    single-round capped path (overflow rows are zero)."""
+    single-round capped path (overflow rows are zero).
+
+    ``dedup=True`` sorts + uniques the local ids before the exchange and
+    expands afterward (the reference's sorted-unique-ids heuristic,
+    gather_op.cpp:118-120 / sort_unique_indices_func.cu): wire volume and
+    local-take work scale with UNIQUE ids, worth it when the batch repeats
+    ids (raw gathers outside the pre-deduped multilayer-sampler path)."""
     world = plan.world
     idt = index_dtype(plan)
     ids = ids.astype(idt)
     B = ids.shape[0]
     oob = jnp.asarray(plan.n, idt)  # sentinel: one past the last logical row
+
+    if dedup:
+        # sort; keep one representative per run, rest -> oob (zero rows)
+        sids = jnp.sort(ids)
+        leader = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+        uids = jnp.where(leader, sids, oob)
+        urows = _gather_shard_a2a(
+            shard, uids, plan=plan, axis=axis, cap=cap, exact=exact, dedup=False
+        )
+        # expand: each original id finds its representative's position
+        pos = jnp.searchsorted(sids, ids)
+        return jnp.take(urows, jnp.clip(pos, 0, B - 1), axis=0)
+
     owner0 = plan.owner(ids).astype(jnp.int32)
     # out-of-range ids are served as zero rows and never enter a bucket
     in_range = (ids >= 0) & (ids < oob)
@@ -570,18 +590,20 @@ def _bucket_cap(B_local: int, world: int, factor: float) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gather_fn(plan, mesh, axis, method, cap):
+def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False):
     """Jitted shard_map gather, cached per static config — eager callers pay
     compile once, not per-op dispatch through the mesh."""
     if method == "allgather":
         body = functools.partial(_gather_shard_allgather, plan=plan, axis=axis)
     elif method == "a2a":
         body = functools.partial(
-            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=True
+            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=True,
+            dedup=dedup,
         )
     elif method == "a2a_capped":
         body = functools.partial(
-            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=False
+            _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=False,
+            dedup=dedup,
         )
     elif method == "ragged":
         body = functools.partial(
@@ -652,6 +674,7 @@ def gather(
     axis: str = "data",
     method: str = "auto",
     capacity_factor: float = 2.0,
+    dedup: bool = False,
 ) -> Array:
     """Gather rows by logical id from a row-sharded table.
 
@@ -669,6 +692,9 @@ def gather(
       capacity_factor: per-owner, per-round bucket headroom over the uniform
         load.  For 'a2a' this is a performance knob (skew beyond it costs
         extra rounds, never correctness); for 'a2a_capped' it bounds drops.
+      dedup: sort-unique the ids before the exchange (reference
+        sorted-ids heuristic, gather_op.cpp:118-120) — wire volume scales
+        with unique ids; enable for batches with many repeats.
     Returns:
       rows ``[B, D]`` with the same sharding as ``ids``.
     """
@@ -681,7 +707,7 @@ def gather(
     if data.ndim == 1:  # 1-D tables (e.g. CSR row_ptr/col): lift to [n, 1]
         out = gather(
             data[:, None], ids, plan=plan, mesh=mesh, axis=axis,
-            method=method, capacity_factor=capacity_factor,
+            method=method, capacity_factor=capacity_factor, dedup=dedup,
         )
         return out[:, 0]
 
@@ -709,7 +735,7 @@ def gather(
         cap = min(cap, world * B_local)
     else:
         cap = 0
-    fn = _build_gather_fn(plan, mesh, axis, method, cap)
+    fn = _build_gather_fn(plan, mesh, axis, method, cap, dedup)
     return fn(data, ids)
 
 
@@ -778,9 +804,10 @@ def scatter(
     check_input(axis_size(mesh, axis) == world, "mesh axis size != plan.world")
     if world == 1:
         phys = plan.physical_index(ids)
+        valid = (ids >= 0) & (ids < plan.n)
         if accumulate:
-            return data.at[phys].add(rows.astype(data.dtype), mode="drop")
-        return data.at[phys].set(rows.astype(data.dtype), mode="drop")
+            return local_add(data, phys, rows.astype(data.dtype), mask=valid)
+        return local_write(data, phys, rows.astype(data.dtype), mask=valid)
 
     if data.ndim == 1:
         out = scatter(

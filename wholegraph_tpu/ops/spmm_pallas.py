@@ -1,18 +1,24 @@
-"""Fused Pallas neighborhood-aggregation kernel (padded SpMM).
+"""Fused padded-neighborhood aggregation kernel (SpMM v2).
 
-Computes ``out[i] = sum_k x[nbr[i, k]]`` in one pass: neighbor rows stream
-HBM→VMEM through a deep DMA ring and accumulate on the VPU, writing each
-destination row once.  Compared to gather-then-reduce this removes the
-[B, K, D] intermediate (the reference fuses the same way in cuGraph-Ops'
-agg_concat_n2n; SURVEY §2.2 P10).
+TPU-native replacement for cuGraph-Ops' fused neighborhood aggregation
+(reference: torch/cugraphops/sage_conv.py:73-95 ``agg_concat_n2n``).  The
+unfused path (ops/spmm.py gather → HBM → masked K-reduce) moves every
+neighbor row through HBM three times (gather write, reduce read, plus the
+original read); this kernel reads each row from HBM exactly ONCE:
 
-Masking: callers map masked slots to sentinel index U (one past the last
-row); the kernel skips both the DMA and the accumulate for sentinel slots,
-so padding costs no descriptors.  Mean division happens outside.
+  per center-block of C centers (grid step):
+    software-pipelined DMA ring fetches 8-row tiles (the k-th neighbor of 8
+    consecutive centers → one [8, D] VMEM tile = full sublanes for the VPU
+    accumulate) and accumulates ``out[8 rows] += tile`` in VMEM.
 
-Mosaic layout rules: x viewed [U, D//128, 128]; the SMEM neighbor block must
-be 1024-aligned, so K is padded to a power of two and the per-step row count
-rb chosen as 1024 / K_pad.
+Masked slots skip their DMA entirely (their tile row is zero-filled
+instead), so HBM traffic is proportional to REAL edges, not the padded B*K.
+
+Ceiling math (v5e, measured in scripts/exp_gather_desc*.py): row fetches
+are DMA-descriptor-bound at ~8 ns/row regardless of semaphore strategy,
+ring depth, or priority queues, so at D=256 fp32 the kernel's ceiling is
+~125 M edges/s (1 KB/edge · 8 ns) — the fusion removes the 2 extra HBM
+passes vs gather+reduce, and only multi-row descriptors could go further.
 """
 
 from __future__ import annotations
@@ -21,105 +27,126 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
 
-def _agg_kernel(nbr_ref, x_ref, out_ref, scratch, sems, *, rb: int, K: int, n_inflight: int, U: int):
-    total = rb * K
+def _fused_agg_kernel(
+    ids_ref,  # SMEM [C, K] int32; masked slots point at the appended ZERO row
+    x_ref,  # ANY  [N+1, d0, 128] (last row is all-zero)
+    out_ref,  # VMEM [C, d0, 128] f32 accumulator (block output)
+    bufs,  # VMEM scratch [2, K, 8, d0, 128] (double-buffered sub-groups)
+    sems,  # DMA sems [2, K, 8]
+    *,
+    C: int,
+    K: int,
+):
+    # Tuned by measurement (v5e): every DMA is UNCONDITIONAL — masked slots
+    # fetch the zero row (per-row pl.when guards cost ~15 ns/row of scalar
+    # branching: 45 Medges/s) — and the accumulate is ONE K-axis reduction
+    # per 8-center sub-group instead of one add per tile (per-tile vector
+    # statements cost ~4 ns/row of scalar-vector sync: 84 Medges/s).
+    G = C // 8  # 8-center sub-groups per block
 
-    def dma(j):
+    def row_dma(s, k, r):
+        idx = ids_ref[s * 8 + r, k]
         return pltpu.make_async_copy(
-            x_ref.at[jnp.minimum(nbr_ref[j], U - 1)],
-            scratch.at[j % n_inflight],
-            sems.at[j % n_inflight],
+            x_ref.at[idx], bufs.at[s % 2, k, r], sems.at[s % 2, k, r]
         )
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    def issue(s):
+        for k in range(K):
+            for r in range(8):
+                row_dma(s, k, r).start()
 
-    def acc(j):
-        @pl.when(nbr_ref[j] < U)
-        def _():
-            dma(j).wait()
-            r = j // K
-            out_ref[r, :, :] += scratch[j % n_inflight]
+    def wait_reduce(s):
+        for k in range(K):
+            for r in range(8):
+                row_dma(s, k, r).wait()
+        # [K, 8, d0, 128] -> [8, d0, 128]: a single traced reduction
+        out_ref[s * 8 : (s + 1) * 8] = jnp.sum(bufs[s % 2], axis=0)
 
-    def issue(j, _):
-        @pl.when(j >= n_inflight)
-        def _a():
-            acc(j - n_inflight)
-
-        @pl.when(nbr_ref[j] < U)
-        def _s():
-            dma(j).start()
-
-        return 0
-
-    lax.fori_loop(0, total, issue, 0, unroll=True)
-
-    def drain(k, _):
-        acc(total - n_inflight + k)
-        return 0
-
-    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+    issue(0)
+    if G > 1:
+        issue(1)
+    for s in range(G):
+        wait_reduce(s)
+        if s + 2 < G:
+            issue(s + 2)
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "n_inflight"))
-def _padded_sum_pallas(x: Array, nbr: Array, *, rb: int, n_inflight: int = 128) -> Array:
-    """out[i] = sum over k of x[nbr[i, k]] for nbr < U (sentinel U skipped).
-
-    x: [U, D]; nbr: [B, K] int32 in [0, U]; B % rb == 0; rb*K % 1024 == 0.
-    """
-    B, K = nbr.shape
-    U, D = x.shape
-    assert D % 128 == 0 and B % rb == 0 and (rb * K) % 1024 == 0
+@functools.partial(jax.jit, static_argnames=("block_c", "ring"))
+def _fused_padded_sum_impl(
+    x: Array, ids: Array, *, block_c: int = 64, ring: int = 32
+) -> Array:
+    """sum_k x[ids[b,k]] → [B, D] f32.  ``x`` must carry an all-zero LAST
+    row; masked slots point at it.  B must be a multiple of block_c; D a
+    multiple of 128."""
+    B, K = ids.shape
+    N1, D = x.shape
+    assert D % 128 == 0 and B % block_c == 0 and block_c % 8 == 0
     d0 = D // 128
+    del ring
     out3 = pl.pallas_call(
-        functools.partial(_agg_kernel, rb=rb, K=K, n_inflight=n_inflight, U=U),
-        grid=(B // rb,),
+        functools.partial(_fused_agg_kernel, C=block_c, K=K),
+        grid=(B // block_c,),
         in_specs=[
-            pl.BlockSpec((rb * K,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((block_c, K), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((rb, d0, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_c, d0, 128), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, d0, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n_inflight, d0, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_inflight,)),
+            pltpu.VMEM((2, K, 8, d0, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, K, 8)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(nbr.reshape(B * K).astype(jnp.int32), x.reshape(U, d0, 128).astype(jnp.float32))
+    )(ids.astype(jnp.int32), x.reshape(N1, d0, 128))
     return out3.reshape(B, D)
 
 
-def _next_pow2(k: int) -> int:
-    p = 1
-    while p < k:
-        p *= 2
-    return p
-
-
-def padded_reduce_pallas(x: Array, nbr_idx: Array, mask: Array, reduce: str = "mean") -> Array:
-    """Drop-in for ops.spmm.padded_reduce (sum/mean) on TPU."""
-    U, D = x.shape
+def _fused_sum_fwd_padded(x, nbr_idx, mask):
+    """Append the zero row, route masked slots to it, pad B, run the kernel."""
     B, K = nbr_idx.shape
-    K_pad = min(_next_pow2(max(K, 1)), 1024)
-    rb = max(1024 // K_pad, 1)
-    nbr = jnp.where(mask, jnp.clip(nbr_idx, 0, U - 1), U).astype(jnp.int32)
-    if K_pad != K:
-        nbr = jnp.concatenate(
-            [nbr, jnp.full((B, K_pad - K), U, jnp.int32)], axis=1
-        )
-    pad_b = -B % rb
-    if pad_b:
-        nbr = jnp.concatenate([nbr, jnp.full((pad_b, K_pad), U, jnp.int32)])
-    out = _padded_sum_pallas(x.astype(jnp.float32), nbr, rb=rb)[:B]
-    if reduce == "mean":
-        cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1).astype(out.dtype)
-        out = out / cnt
-    elif reduce != "sum":
-        raise ValueError(f"padded_reduce_pallas supports sum/mean, not {reduce!r}")
-    return out.astype(x.dtype)
+    N, D = x.shape
+    block_c = 64
+    xz = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((1, D), jnp.float32)])
+    ids = jnp.where(mask, jnp.clip(nbr_idx.astype(jnp.int32), 0, N - 1), N)
+    pad = -B % block_c
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad, K), N, jnp.int32)])
+    out = _fused_padded_sum_impl(xz, ids, block_c=block_c)
+    return out[:B].astype(x.dtype) if pad else out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_padded_sum(x: Array, nbr_idx: Array, mask: Array) -> Array:
+    """Fused masked neighborhood SUM: out[b] = Σ_k mask[b,k]·x[nbr_idx[b,k]].
+
+    Single-HBM-pass pallas kernel on TPU (see module docstring); the VJP is
+    the scatter-add of the output cotangent over the edges — identical math
+    to the unfused path's autodiff."""
+    return _fused_sum_fwd_padded(x, nbr_idx, mask)
+
+
+def _fps_fwd(x, nbr_idx, mask):
+    return _fused_sum_fwd_padded(x, nbr_idx, mask), (x.shape, x.dtype, nbr_idx, mask)
+
+
+def _fps_bwd(res, ct):
+    (N, D), dtype, nbr_idx, mask = res
+    B, K = nbr_idx.shape
+    flat = jnp.where(mask, nbr_idx, N).reshape(-1)
+    ct_edges = jnp.broadcast_to(ct[:, None, :], (B, K, D)).reshape(B * K, D)
+    dx = (
+        jnp.zeros((N, D), jnp.float32)
+        .at[flat]
+        .add(jnp.where(mask.reshape(-1, 1), ct_edges, 0), mode="drop")
+        .astype(dtype)
+    )
+    return dx, None, None
+
+
+fused_padded_sum.defvjp(_fps_fwd, _fps_bwd)

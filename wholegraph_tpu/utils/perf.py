@@ -11,6 +11,7 @@ dynamic trip count between two scalar host fetches.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Callable, List, Optional
@@ -82,3 +83,34 @@ def measure_chain(step_fn: Callable, n_iters: int = 8, *args) -> float:
     float(chain(1 + n_iters, *args))
     full = time.perf_counter() - t0
     return max((full - base) / n_iters, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Profiling (jax.profiler wrappers; reference has no built-in tracer, SURVEY §5)
+# ---------------------------------------------------------------------------
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture an XLA profiler trace around a block (TensorBoard/xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a trace (TraceAnnotation)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def device_memory_stats() -> dict:
+    """Per-device memory stats where the backend exposes them."""
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = None
+    return out
