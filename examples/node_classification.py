@@ -50,9 +50,16 @@ def main():
     fanouts = parse_fanouts(args.neighbors)
     assert len(fanouts) == args.layernum, "--neighbors must match --layernum"
 
-    mesh = wg.parallel.launch.init()
+    use_hier = args.embedding_memory_type == "hierarchy"
+    mesh = wg.parallel.launch.init(use_hierarchy=use_hier)
     world = mesh.size
-    print(f"mesh: {world} devices on {jax.default_backend()}")
+    # on a hierarchy (node x device) mesh the batch/table axis is the tuple;
+    # flat exact a2a runs over it and gather(method='hierarchy') two-stages
+    AXIS = ("node", "device") if use_hier else "data"
+    P_BATCH = P(AXIS)
+    P_ROWS = P(AXIS, None)
+    print(f"mesh: {world} devices on {jax.default_backend()}"
+          + (" (hierarchy)" if use_hier else ""))
 
     if args.graph_name == "synthetic":
         ds = synthetic_dataset(feat_dim=args.feat_dim, num_classes=args.classnum)
@@ -76,6 +83,7 @@ def main():
         ds.node_count,
         ds.feat_dim,
         optimizer=create_optimizer(args.embed_optimizer),
+        axis=AXIS,
     )
     if ds.features is not None:
         estate = emb.from_array(ds.features)
@@ -121,7 +129,7 @@ def main():
     # init params from one sampled batch
     it = batch_iterator(ds.train, args.batchsize, seed=args.seed)
     centers0, labels0 = next(it)
-    ml0 = g.multilayer_sample(put(centers0, P("data")), fanouts, seed=0)
+    ml0 = g.multilayer_sample(put(centers0, P_BATCH), fanouts, seed=0)
     x0 = emb.gather(estate, ml0.unique_gids, capacity_factor=args.capacity_factor)
     params = model.init(jax.random.PRNGKey(args.seed), x0, sample=ml0)
 
@@ -132,7 +140,7 @@ def main():
         from wholegraph_tpu.ops.gather import gather_overflow
 
         ov = int(gather_overflow(
-            ml0.unique_gids, plan=emb.plan, mesh=mesh,
+            ml0.unique_gids, plan=emb.plan, mesh=mesh, axis=AXIS,
             capacity_factor=args.capacity_factor,
         )[0])
         if ov:
@@ -220,7 +228,7 @@ def main():
             np.concatenate(
                 [np.arange(ds.node_count), np.zeros(n_pad)]
             ).astype(np.int32),
-            P("data"),
+            P_BATCH,
         )
 
         @jax.jit
@@ -257,12 +265,12 @@ def main():
         ):
             if full_graph:
                 loss, acc = eval_step(
-                    params, estate, put(centers, P("data")), put(labels, P("data"))
+                    params, estate, put(centers, P_BATCH), put(labels, P_BATCH)
                 )
             else:
                 loss, acc = eval_step(
                     params, estate, cache,
-                    put(centers, P("data")), put(labels, P("data")),
+                    put(centers, P_BATCH), put(labels, P_BATCH),
                 )
             accs.append(float(acc))
             losses.append(float(loss))
@@ -277,8 +285,8 @@ def main():
                 batch_iterator(ds.train, args.batchsize, seed=args.seed + epoch)
             )
             S = len(batches)
-            centers_s = put(np.stack([b[0] for b in batches]), P(None, "data"))
-            labels_s = put(np.stack([b[1] for b in batches]), P(None, "data"))
+            centers_s = put(np.stack([b[0] for b in batches]), P(None, AXIS))
+            labels_s = put(np.stack([b[1] for b in batches]), P(None, AXIS))
             seeds = jnp.arange(global_step, global_step + S, dtype=jnp.int32)
             keys = jax.vmap(jax.random.PRNGKey)(seeds)
             params, estate, opt_state, cache, losses = train_epoch_scan(
@@ -293,7 +301,7 @@ def main():
             ):
                 params, estate, opt_state, cache, loss, acc = train_step(
                     params, estate, opt_state, cache,
-                    put(centers, P("data")), put(labels, P("data")),
+                    put(centers, P_BATCH), put(labels, P_BATCH),
                     global_step, jax.random.PRNGKey(global_step),
                 )
                 ep_losses.append(float(loss))

@@ -151,3 +151,39 @@ def test_embedding_from_filelist(mesh8, tmp_path):
     emb_rr = Embedding.create(mesh8, n, dim, plan=rr_plan)
     state_rr = emb_rr.from_filelist([p], round_robin_size=4)
     np.testing.assert_allclose(emb_rr.to_array(state_rr), arr)
+
+
+def test_host_embedding_checkpoint_roundtrip(mesh8, tmp_path):
+    """Host-tier checkpoint: table + optimizer slots + hot set survive a
+    save/load and training resumes identically (reference save/load flow,
+    torch/embedding.py:358-377, applied to device_cached_host)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wholegraph_tpu.embedding import HostEmbedding, LazyAdam
+    from wholegraph_tpu.io import load_host_embedding, save_host_embedding
+
+    n, dim, B = 128, 16, 64
+    emb = HostEmbedding.create(mesh8, n, dim, optimizer=LazyAdam(), cache_ratio=0.3)
+    rs = np.random.RandomState(0)
+    init = rs.randn(n, dim).astype(np.float32)
+    state = emb.from_array(init, hot_ids=np.arange(0, n, 2))
+
+    ids = jax.device_put(
+        jnp.asarray(rs.randint(0, n, B)), NamedSharding(mesh8, P("data"))
+    )
+    grads = jax.device_put(
+        jnp.asarray(rs.randn(B, dim).astype(np.float32)),
+        NamedSharding(mesh8, P("data", None)),
+    )
+    state = emb.apply_gradients(state, ids, grads, 0.1)
+    save_host_embedding(emb, state, str(tmp_path), "htab")
+
+    state2 = load_host_embedding(emb, str(tmp_path), "htab")
+    np.testing.assert_allclose(emb.to_array(state2), emb.to_array(state))
+    assert int(state2.step) == 1
+    # resume: one more identical step on both must stay identical
+    s_a = emb.apply_gradients(state, ids, grads, 0.1)
+    s_b = emb.apply_gradients(state2, ids, grads, 0.1)
+    np.testing.assert_allclose(emb.to_array(s_b), emb.to_array(s_a), rtol=1e-6)

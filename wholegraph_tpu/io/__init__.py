@@ -6,8 +6,10 @@ from .file_io import (
 )
 from .checkpoint import (
     load_embedding,
+    load_host_embedding,
     load_table_checkpoint,
     save_embedding,
+    save_host_embedding,
     save_table_checkpoint,
 )
 
@@ -17,7 +19,9 @@ __all__ = [
     "load_table_from_parts",
     "store_table",
     "load_embedding",
+    "load_host_embedding",
     "load_table_checkpoint",
     "save_embedding",
+    "save_host_embedding",
     "save_table_checkpoint",
 ]

@@ -59,18 +59,29 @@ def padded_reduce(
         and x.ndim == 2
         and x.shape[1] % 128 == 0
         and B * K >= 4096
-        and K <= 31  # 2*K*8 DMA sems must fit the ~496 hardware budget
     ):
-        # fused single-HBM-pass kernel: DMA each neighbor row straight into
-        # a VMEM accumulator (ops/spmm_pallas.py) — no [B*K, D] gather
-        # round-trip through HBM
-        from .spmm_pallas import fused_padded_sum
+        # gather in the native [*, d0, 128] tile layout, reduce over K.
+        # Measured on v5e: this UNFUSED form (96 Medges/s @ D=256) beats
+        # every fused DMA-into-VMEM-accumulator variant (45/77/84 Medges/s,
+        # ops/spmm_pallas.py + scripts/exp_spmm_diag.py): row fetches are
+        # descriptor-bound (~8 ns HBM→HBM), so the extra HBM passes of the
+        # unfused reduce are nearly free, while HBM→VMEM row DMAs plus
+        # per-tile scalar↔vector synchronisation run slower per row.
+        from .gather_pallas import gather_rows_pallas3
 
-        s = fused_padded_sum(x, nbr_idx, mask)
+        D = x.shape[1]
+        flat = jnp.clip(nbr_idx.reshape(-1).astype(jnp.int32), 0, x.shape[0] - 1)
+        pad = -flat.shape[0] % 1024
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        neigh3 = gather_rows_pallas3(x, flat)[: B * K]
+        neigh3 = neigh3.reshape(B, K, D // 128, 128)
+        m3 = mask[:, :, None, None]
+        s = jnp.sum(jnp.where(m3, neigh3, 0), axis=1)  # [B, d0, 128]
         if reduce == "mean":
-            cnt = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(s.dtype)
-            s = s / cnt[:, None]
-        return s
+            cnt = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(x.dtype)
+            s = s / cnt[:, None, None]
+        return s.reshape(B, D)
 
     neigh = padded_gather_neighbors(x, nbr_idx)  # [B, K, D]
     m = mask[..., None]
