@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--scan-epoch", action="store_true",
                     help="run each whole epoch inside one jit via lax.scan "
                          "(amortises per-step dispatch; TPU-native idiom)")
+    ap.add_argument("--save-dir", default="",
+                    help="checkpoint directory; saves the embedding state "
+                         "asynchronously every --ckpt-every epochs "
+                         "(background IO overlapped with training)")
+    ap.add_argument("--ckpt-every", type=int, default=1)
     args = ap.parse_args()
     fanouts = parse_fanouts(args.neighbors)
     assert len(fanouts) == args.layernum, "--neighbors must match --layernum"
@@ -276,6 +281,12 @@ def main():
             losses.append(float(loss))
         return float(np.mean(losses)), float(np.mean(accs))
 
+    ckpt = None
+    if args.save_dir:
+        from wholegraph_tpu.io import AsyncCheckpointer
+
+        ckpt = AsyncCheckpointer()
+
     train_start = time.perf_counter()
     global_step = 0
     for epoch in range(args.epochs):
@@ -314,6 +325,8 @@ def main():
             cache = refresh_hot_cache(
                 _ST(estate.table, emb.plan, mesh, emb.axis), cache
             )
+        if ckpt is not None and (epoch + 1) % args.ckpt_every == 0:
+            ckpt.save_embedding(emb, estate, args.save_dir, "node_emb")
         epoch_time = time.perf_counter() - t0
         vloss, vacc = run_eval(ds.valid, args.valid_batchsize, epoch)
         print(
@@ -322,6 +335,9 @@ def main():
             f"valid acc {vacc*100:.2f}%"
         )
     train_time = time.perf_counter() - train_start
+    if ckpt is not None:
+        ckpt.close()  # drain pending checkpoint writes
+        print(f"checkpoints in {args.save_dir}")
     print(f"[TRAIN_TIME] {train_time:.3f} s")
     tloss, tacc = run_eval(ds.test, args.valid_batchsize, 0)
     print(f"[TEST] loss {tloss:.4f} accuracy {tacc*100:.2f}%")

@@ -187,3 +187,48 @@ def test_host_embedding_checkpoint_roundtrip(mesh8, tmp_path):
     s_a = emb.apply_gradients(state, ids, grads, 0.1)
     s_b = emb.apply_gradients(state2, ids, grads, 0.1)
     np.testing.assert_allclose(emb.to_array(s_b), emb.to_array(s_a), rtol=1e-6)
+
+
+def test_async_checkpointer_embedding(mesh8, tmp_path):
+    """Async save == sync save: snapshot-then-background-write, meta last,
+    no .tmp litter; a second save to the same name supersedes the first."""
+    from wholegraph_tpu.io import AsyncCheckpointer, load_embedding
+
+    n, dim = 64, 8
+    emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.SGD())
+    state = emb.from_array(deterministic_rows(n, dim))
+    with AsyncCheckpointer() as ckpt:
+        ckpt.save_embedding(emb, state, str(tmp_path), "a")
+        # mutate the live state immediately (donation-style reuse): the
+        # snapshot must be isolated from it
+        state2 = emb.from_array(2.0 * deterministic_rows(n, dim))
+        ckpt.save_embedding(emb, state2, str(tmp_path), "b")
+        ckpt.wait()
+    got_a = emb.to_array(load_embedding(emb, str(tmp_path), "a"))
+    got_b = emb.to_array(load_embedding(emb, str(tmp_path), "b"))
+    np.testing.assert_array_equal(got_a, deterministic_rows(n, dim))
+    np.testing.assert_array_equal(got_b, 2.0 * deterministic_rows(n, dim))
+    leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_async_checkpointer_error_propagates():
+    """A failure in the background WRITE phase surfaces from wait()."""
+    from wholegraph_tpu.io import checkpoint as ck
+
+    ckpt = ck.AsyncCheckpointer()
+    bad = ([("/no-such-dir-wgtpu/part_0_of_1", np.zeros((2, 2), np.float32))], [])
+    ckpt._submit(bad)
+    with pytest.raises(Exception):
+        ckpt.wait()
+    ckpt.close()
+
+
+def test_async_checkpointer_table(mesh8, tmp_path):
+    from wholegraph_tpu.io import AsyncCheckpointer
+
+    tab = ShardedTable.from_array(mesh8, deterministic_rows(48, 16))
+    with AsyncCheckpointer() as ckpt:
+        ckpt.save_table(tab, str(tmp_path), "tt")
+    tab2 = load_table_checkpoint(mesh8, str(tmp_path), "tt")
+    np.testing.assert_array_equal(tab2.to_array(), deterministic_rows(48, 16))

@@ -5,6 +5,7 @@ from .file_io import (
     store_table,
 )
 from .checkpoint import (
+    AsyncCheckpointer,
     load_embedding,
     load_host_embedding,
     load_table_checkpoint,
@@ -14,6 +15,7 @@ from .checkpoint import (
 )
 
 __all__ = [
+    "AsyncCheckpointer",
     "filelist_entry_counts",
     "load_filelist",
     "load_table_from_parts",

@@ -8,13 +8,22 @@ wholememory_store_to_file / wholememory_load_from_file, wholememory.h:450-472).
 
 We add a small JSON meta file recording shapes/dtypes/step so reload is
 self-describing.
+
+Saves go through a two-phase manifest: SNAPSHOT (device->host numpy copies of
+every shard, on the caller thread — safe even when the training step donates
+and overwrites the table buffers) then WRITE (part files via the native
+threaded writer, each through a ``.tmp`` + rename, meta files LAST so a meta's
+presence marks a complete checkpoint).  :class:`AsyncCheckpointer` runs the
+WRITE phase on a background thread — async checkpointing the reference lacks
+(its store, wholememory.h:450-472, is synchronous).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Optional
+import threading
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -23,16 +32,49 @@ from ..embedding.embedding import Embedding, EmbeddingState
 from ..memory.partition import PartitionPlan
 from ..memory.sharded_table import ShardedTable
 from ..utils.error import check_input
-from .file_io import load_table_from_parts, store_table
+from .file_io import load_table_from_parts
+
+# manifest: ([(part_path, numpy_rows), ...], [(meta_path, meta_dict), ...])
+Manifest = Tuple[List[Tuple[str, np.ndarray]], List[Tuple[str, dict]]]
 
 
-def save_embedding(emb: Embedding, state: EmbeddingState, directory: str, name: str) -> None:
-    """Write table + optimizer slots + meta under ``directory``."""
+def _table_parts(table: ShardedTable, path_prefix: str):
+    return [
+        (f"{path_prefix}_part_{s}_of_{table.plan.world}", table.local_shard(s))
+        for s in range(table.plan.world)
+    ]
+
+
+def _write_manifest(manifest: Manifest) -> None:
+    try:
+        from .native import write_rows_native
+    except Exception:  # pragma: no cover
+        write_rows_native = None
+    files, metas = manifest
+    for path, rows in files:
+        tmp = path + ".tmp"
+        if write_rows_native is not None:
+            write_rows_native(tmp, rows)
+        else:
+            rows.tofile(tmp)
+        os.replace(tmp, path)
+    for path, meta in metas:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
+
+def _embedding_manifest(
+    emb: Embedding, state: EmbeddingState, directory: str, name: str
+) -> Manifest:
     os.makedirs(directory, exist_ok=True)
-    table = ShardedTable(state.table, emb.plan, emb.mesh, emb.axis)
-    store_table(table, os.path.join(directory, f"{name}_embedding_tensor"))
+    files = _table_parts(
+        ShardedTable(state.table, emb.plan, emb.mesh, emb.axis),
+        os.path.join(directory, f"{name}_embedding_tensor"),
+    )
     for slot_name, arr in state.slots.items():
-        store_table(
+        files += _table_parts(
             ShardedTable(arr, emb.plan, emb.mesh, emb.axis),
             os.path.join(directory, f"{name}_{slot_name}"),
         )
@@ -49,8 +91,12 @@ def save_embedding(emb: Embedding, state: EmbeddingState, directory: str, name: 
         "rr_block": emb.plan.rr_block,
         "shard_rows": list(emb.plan.shard_rows),
     }
-    with open(os.path.join(directory, f"{name}_meta.json"), "w") as f:
-        json.dump(meta, f)
+    return files, [(os.path.join(directory, f"{name}_meta.json"), meta)]
+
+
+def save_embedding(emb: Embedding, state: EmbeddingState, directory: str, name: str) -> None:
+    """Write table + optimizer slots + meta under ``directory``."""
+    _write_manifest(_embedding_manifest(emb, state, directory, name))
 
 
 def load_embedding(emb: Embedding, directory: str, name: str) -> EmbeddingState:
@@ -80,22 +126,19 @@ def load_embedding(emb: Embedding, directory: str, name: str) -> EmbeddingState:
     return EmbeddingState(table.data, slots, jnp.asarray(meta["step"], jnp.int32))
 
 
-def save_host_embedding(emb, state, directory: str, name: str) -> None:
-    """Checkpoint a device-cached-host embedding: host table + optimizer
-    slots as part files (same format as :func:`save_embedding`) plus the
-    hot-id set, so reload rebuilds the cache coherently."""
+def _host_embedding_manifest(emb, state, directory: str, name: str) -> Manifest:
+    import jax
+
     os.makedirs(directory, exist_ok=True)
-    store_table(
+    files = _table_parts(
         ShardedTable(state.host_table, emb.plan, emb.mesh, emb.axis),
         os.path.join(directory, f"{name}_embedding_tensor"),
     )
     for slot_name, arr in state.host_slots.items():
-        store_table(
+        files += _table_parts(
             ShardedTable(arr, emb.plan, emb.mesh, emb.axis),
             os.path.join(directory, f"{name}_{slot_name}"),
         )
-    import jax
-
     cmap = np.asarray(jax.device_get(state.cache_map))
     phys_hot = np.nonzero(cmap >= 0)[0]
     # physical slot -> logical id (inverse of the plan's physical map)
@@ -103,6 +146,7 @@ def save_host_embedding(emb, state, directory: str, name: str) -> None:
     all_ids = np.arange(emb.plan.n, dtype=np.int64)
     logical[emb.plan.physical_index_np(all_ids)] = all_ids
     hot_ids = np.sort(logical[phys_hot])
+    # small sidecar, written in the snapshot phase (meta still lands last)
     np.save(os.path.join(directory, f"{name}_hot_ids.npy"), hot_ids)
     meta = {
         "name": name,
@@ -118,8 +162,14 @@ def save_host_embedding(emb, state, directory: str, name: str) -> None:
         "shard_rows": list(emb.plan.shard_rows),
         "host_tier": True,
     }
-    with open(os.path.join(directory, f"{name}_meta.json"), "w") as f:
-        json.dump(meta, f)
+    return files, [(os.path.join(directory, f"{name}_meta.json"), meta)]
+
+
+def save_host_embedding(emb, state, directory: str, name: str) -> None:
+    """Checkpoint a device-cached-host embedding: host table + optimizer
+    slots as part files (same format as :func:`save_embedding`) plus the
+    hot-id set, so reload rebuilds the cache coherently."""
+    _write_manifest(_host_embedding_manifest(emb, state, directory, name))
 
 
 def load_host_embedding(emb, directory: str, name: str):
@@ -165,9 +215,9 @@ def _plan_from_meta(meta) -> Optional[PartitionPlan]:
     return None
 
 
-def save_table_checkpoint(table: ShardedTable, directory: str, name: str) -> None:
+def _table_manifest(table: ShardedTable, directory: str, name: str) -> Manifest:
     os.makedirs(directory, exist_ok=True)
-    store_table(table, os.path.join(directory, name))
+    files = _table_parts(table, os.path.join(directory, name))
     meta = {
         "part_count": table.plan.world,
         "rows": table.plan.n,
@@ -177,8 +227,11 @@ def save_table_checkpoint(table: ShardedTable, directory: str, name: str) -> Non
         "rr_block": table.plan.rr_block,
         "shard_rows": list(table.plan.shard_rows),
     }
-    with open(os.path.join(directory, f"{name}_meta.json"), "w") as f:
-        json.dump(meta, f)
+    return files, [(os.path.join(directory, f"{name}_meta.json"), meta)]
+
+
+def save_table_checkpoint(table: ShardedTable, directory: str, name: str) -> None:
+    _write_manifest(_table_manifest(table, directory, name))
 
 
 def load_table_checkpoint(
@@ -192,3 +245,66 @@ def load_table_checkpoint(
         meta["part_count"], mesh, meta["dim"], meta["dtype"], axis=axis, plan=plan,
         saved_plan=_plan_from_meta(meta),
     )
+
+
+class AsyncCheckpointer:
+    """Asynchronous checkpoint writer.
+
+    ``save_*`` methods snapshot all device shards to host numpy on the
+    CALLER's thread (so the training loop may immediately donate/overwrite
+    the buffers) and enqueue the disk write on a single background worker.
+    Writes within one checkpoint keep the manifest order guarantee (meta
+    last); checkpoints are written in submission order.  ``wait()`` blocks
+    until the queue drains and re-raises the first writer error.
+
+    The reference's store path (wholememory.h:450-472) is synchronous; this
+    is the orbax-style overlap of training and checkpoint IO.
+
+        ckpt = AsyncCheckpointer()
+        for epoch ...:
+            state = train_epoch(state)
+            ckpt.save_embedding(emb, state, dir, "emb")   # returns at once
+        ckpt.wait()
+    """
+
+    def __init__(self, max_pending: int = 2):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="wgtpu-ckpt"
+        )
+        self._max_pending = max_pending
+        self._futures: List = []
+        self._lock = threading.Lock()
+
+    def _submit(self, manifest: Manifest) -> None:
+        with self._lock:
+            # bound memory: at most max_pending snapshots alive
+            while len([f for f in self._futures if not f.done()]) >= self._max_pending:
+                self._futures.pop(0).result()
+            self._futures.append(self._pool.submit(_write_manifest, manifest))
+
+    def save_embedding(self, emb, state, directory: str, name: str) -> None:
+        self._submit(_embedding_manifest(emb, state, directory, name))
+
+    def save_host_embedding(self, emb, state, directory: str, name: str) -> None:
+        self._submit(_host_embedding_manifest(emb, state, directory, name))
+
+    def save_table(self, table: ShardedTable, directory: str, name: str) -> None:
+        self._submit(_table_manifest(table, directory, name))
+
+    def wait(self) -> None:
+        with self._lock:
+            futures, self._futures = self._futures, []
+        for f in futures:
+            f.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

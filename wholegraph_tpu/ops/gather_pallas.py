@@ -196,6 +196,183 @@ def gather_rows_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Windowed gather: sorted ids, multi-row DMAs + MXU one-hot select
+# ---------------------------------------------------------------------------
+#
+# The single-row DMA ring above is descriptor-rate-bound on v5e (~8 ns per
+# descriptor => 127 GB/s at 1KB rows, regardless of ring strategy — exhaustive
+# matrix in docs/DESIGN.md).  The one door past that wall is moving >1 row per
+# descriptor.  For SORTED ids this kernel fetches a whole contiguous WINDOW of
+# the table per id-tile with ONE large DMA (a sublane-tile-aligned [window, D]
+# block of the 2-D HBM memref), then selects the requested rows on the MXU with a
+# one-hot matmul — the TPU-native analog of the reference's coalesced
+# vectorised gather (gather_scatter_func.cuh:211-446, which coalesces 16B
+# accesses across a warp; here we coalesce rows across a DMA descriptor).
+#
+# Exactness: a one-hot matmul is a bit-exact row copy provided no operand is
+# rounded.  bf16 tables: one-hot is exactly representable, accumulation in
+# f32 adds exactly one nonzero term => exact.  f32 tables: MXU multiplies via
+# bf16 multi-pass; Precision.HIGHEST splits each f32 into >=3 disjoint bf16
+# mantissa pieces, each multiplied by exactly 1.0 and summed in f32 — the
+# pieces are disjoint bit-ranges of the 24-bit mantissa, so the sum
+# reconstructs the original f32 exactly.  (Verified bit-exact on hardware in
+# tests/test_pallas_tpu.py.)
+#
+# Ids outside a tile's window produce ZERO rows (the one-hot row is all
+# zeros) — the same observable-miss contract as the masked kernels below; use
+# window_coverage() to size the window or to detect misses.
+#
+# Crossover vs the DMA ring (v5e, rows of R bytes, sorted-id density d =
+# rows-referenced / window-span):  ring = R / 8ns;  window = min(819 GB/s * d
+# (HBM fetch), MXU one-hot rate).  At D=256 f32 (HIGHEST ~ 33 TFLOP/s,
+# W=256: 131 KFLOP/row => 250 Mrow/s) the window path wins for d >~ 0.33;
+# at D=256 bf16 (W=512: 262 KFLOP bf16 => ~750 Mrow/s) it wins for d >~ 0.1
+# and peaks ~6x the ring.  choose_gather_kernel() encodes this.
+
+
+_WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
+
+
+def _window_gather_kernel(
+    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, window, nt, acc_prec
+):
+    t = pl.program_id(0)
+
+    def copy(slot, tt):
+        # w0s are _WALIGN-aligned by construction; tell Mosaic so the tiled
+        # HBM slice is provably tile-aligned.
+        w0 = pl.multiple_of(w0s_ref[tt], _WALIGN)
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(w0, window), :],
+            win.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _first():
+        copy(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _prefetch():
+        copy((t + 1) % 2, t + 1).start()
+
+    slot = t % 2
+    copy(slot, t).wait()
+
+    ids = ids_ref[...]  # [tile, 1] int32
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+    dtype = out_ref.dtype
+    onehot = (ids - w0s_ref[t] == col).astype(
+        jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    )
+    rows = jax.lax.dot_general(
+        onehot,
+        win[slot],
+        (((1,), (0,)), ((), ())),
+        precision=acc_prec,
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = rows.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def gather_rows_window(
+    table: Array, ids: Array, *, tile: int = 256, window: int = 1024
+) -> Array:
+    """out[i] = table[ids[i]] for SORTED ids via windowed multi-row DMAs.
+
+    Per tile of ``tile`` consecutive ids, one DMA fetches the ``window`` table
+    rows starting at that tile's first id (aligned down to the HBM sublane
+    tiling); rows are selected by a bit-exact MXU one-hot matmul.  Ids falling
+    outside their tile's window return ZERO rows (use :func:`window_coverage`
+    to check).  Requires ``window <= N``.
+
+    Float dtypes only (f32 exact via Precision.HIGHEST; bf16 exact natively).
+    """
+    B = ids.shape[0]
+    N, D = table.shape
+    assert D % 128 == 0, D
+    assert window % _WALIGN == 0, window
+    assert N >= window + _WALIGN, (N, window)
+    assert table.dtype in (jnp.float32, jnp.bfloat16), table.dtype
+    ids = ids.astype(jnp.int32)
+    pad = -B % tile
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), N, jnp.int32)])
+    Bp = ids.shape[0]
+    nt = Bp // tile
+    nmax = (N - window) // _WALIGN * _WALIGN
+    w0s = jnp.clip(ids[::tile] // _WALIGN * _WALIGN, 0, nmax)
+    acc_prec = (
+        jax.lax.Precision.DEFAULT
+        if table.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _window_gather_kernel,
+            tile=tile,
+            window=window,
+            nt=nt,
+            acc_prec=acc_prec,
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w0s, whole
+            pl.BlockSpec((tile, 1), lambda t: (t, 0)),  # ids column, pipelined
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table, HBM
+        ],
+        out_specs=pl.BlockSpec((tile, D), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, D), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(w0s, ids.reshape(Bp, 1), table)
+    return out[:B]
+
+
+def window_coverage(
+    ids: Array, n_rows: int, *, tile: int = 256, window: int = 1024
+):
+    """For sorted ids, the fraction of ids that fall inside their tile's
+    window (rows gather_rows_window would return non-zero; mirrors the
+    kernel's aligned+clamped window starts exactly) and the sorted-id density
+    (distinct-rows / span) that drives the ring-vs-window crossover.
+    Returns (covered_fraction, density), both device scalars."""
+    B = ids.shape[0]
+    pad = -B % tile
+    idp = ids.astype(jnp.int32)
+    if pad:
+        idp = jnp.concatenate([idp, jnp.broadcast_to(idp[-1:], (pad,))])
+    tiles = idp.reshape(-1, tile)
+    nmax = (n_rows - window) // _WALIGN * _WALIGN
+    w0 = jnp.clip(tiles[:, :1] // _WALIGN * _WALIGN, 0, nmax)
+    off = tiles - w0
+    covered = ((off >= 0) & (off < window)).sum() - pad
+    span = jnp.maximum(idp[-1] - idp[0] + 1, 1)
+    distinct = 1 + (idp[1:] != idp[:-1]).sum()
+    return covered / B, distinct / span
+
+
+def choose_gather_kernel(
+    density: float, dtype, dim: int, *, desc_ns: float = 8.0, hbm_gbps: float = 819.0
+) -> str:
+    """Crossover heuristic: 'window' when the windowed multi-row-DMA gather
+    out-runs the descriptor-bound single-row ring for sorted ids of the given
+    density, else 'ring'.  Pure host math — callers probe density once per
+    batch structure (cf. the dedup heuristic in ops/gather.py)."""
+    rowbytes = dim * jnp.dtype(dtype).itemsize
+    ring_rows_s = 1e9 / desc_ns  # one row per descriptor
+    fetch_rows_s = hbm_gbps * 1e9 * max(density, 1e-6) / rowbytes
+    flops_per_row = 2 * 1024 * dim  # default window
+    mxu = 197e12 / 6 if jnp.dtype(dtype) == jnp.float32 else 197e12
+    window_rows_s = min(fetch_rows_s, mxu / flops_per_row)
+    return "window" if window_rows_s > 1.15 * ring_rows_s else "ring"
+
+
+# ---------------------------------------------------------------------------
 # Masked host-memory row gather/scatter (the device_cached_host hot path)
 # ---------------------------------------------------------------------------
 #
