@@ -76,6 +76,36 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     return batch * dim * 4 / dt / 1e9, dt
 
 
+def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
+    """Sorted-id gather bandwidth (the reference's sorted/unique-indices fast
+    path, gather_op.cpp:118-120): deduped sorted ids at ~batch/n_rows density
+    through local_take_sorted (windowed multi-row DMA + MXU one-hot select,
+    with exact repair of out-of-window ids)."""
+    import numpy as np
+
+    from wholegraph_tpu.ops import local_take_sorted
+
+    table = jax.jit(lambda: jnp.ones((n_rows, dim), jnp.float32))()
+    rng = np.random.RandomState(0)
+    span = min(n_rows, int(batch * 1.25))
+    base = rng.randint(0, n_rows - span, size=iters + 2)
+
+    ids_list = [
+        jnp.asarray(
+            np.sort(b + rng.choice(span, batch, replace=False)).astype(np.int32)
+        )
+        for b in base
+    ]
+
+    def step(i, tab):
+        ids = jax.lax.switch(i % len(ids_list), [lambda x=x: x for x in ids_list])
+        out = local_take_sorted(tab, ids, density=batch / span)
+        return out[0, 0]
+
+    dt = measure_chain(step, iters, table)
+    return batch * dim * 4 / dt / 1e9, dt
+
+
 def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     """Scatter bandwidth (the reference bench's scatter mode,
     gather_scatter_bench.cu:381): random-row writes into the table."""
@@ -252,8 +282,8 @@ def main():
         "--metric",
         default="gather",
         choices=[
-            "gather", "scatter", "apply", "sampling", "weighted_sampling",
-            "spmm", "scaling", "host_gather",
+            "gather", "gather_sorted", "scatter", "apply", "sampling",
+            "weighted_sampling", "spmm", "scaling", "host_gather",
         ],
     )
     ap.add_argument("--rows", type=int, default=4_000_000)
@@ -290,6 +320,15 @@ def main():
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
+    if args.metric == "gather_sorted":
+        gbps, dt = bench_gather_sorted(args.rows, args.dim, args.batch, args.iters)
+        print(json.dumps({
+            "metric": "embedding_gather_sorted_bandwidth",
+            "value": round(gbps, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / sol_gbps, 4),
         }))
         return
     if args.metric == "scatter":

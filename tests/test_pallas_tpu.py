@@ -204,3 +204,53 @@ def test_gather_rows_pallas_bf16():
     np.testing.assert_array_equal(
         np.asarray(out[:, 0]).astype(np.int64), np.asarray(ids) % 256
     )
+
+
+def test_gather_rows_window_bitexact():
+    """Windowed multi-row-DMA gather: bit-exact vs take for in-window sorted
+    ids, f32 (Precision.HIGHEST one-hot) and bf16."""
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_window, window_coverage
+
+    N, D, B = 200_000, 256, 8192
+    rng = np.random.RandomState(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        table = jax.jit(
+            lambda: (jax.random.normal(jax.random.PRNGKey(7), (N, D)) * 50).astype(
+                dtype
+            )
+        )()
+        start = 12_345
+        ids = np.sort(start + rng.choice(40_000, B, replace=False)).astype(np.int32)
+        ids = jnp.asarray(ids)
+        cov, _ = window_coverage(ids, N, tile=256, window=2048)
+        out = gather_rows_window(table, ids, tile=256, window=2048)
+        ref = jnp.take(table, ids, axis=0)
+        outn, refn = np.asarray(out), np.asarray(ref)
+        covered = np.asarray(
+            (ids.reshape(-1, 256) - np.asarray(
+                np.clip((ids.reshape(-1, 256)[:, :1] // 32) * 32, 0, None))) < 2048
+        ).reshape(-1)
+        np.testing.assert_array_equal(outn[covered], refn[covered])
+        assert float(cov) > 0.9
+
+
+def test_local_take_sorted_exact_any_coverage():
+    """local_take_sorted repairs out-of-window ids: exact even for ids that
+    violate the window contract (huge jumps inside a tile)."""
+    from wholegraph_tpu.ops.gather_pallas import local_take_sorted
+
+    N, D, B = 300_000, 128, 8192
+    table = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(9), (N, D))
+    )()
+    rng = np.random.RandomState(4)
+    # sorted but LOW density: spans far exceed any window
+    ids = np.sort(rng.randint(0, N, B)).astype(np.int32)
+    out = local_take_sorted(table, jnp.asarray(ids))
+    ref = jnp.take(table, jnp.asarray(ids), axis=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # and a dense batch
+    ids2 = np.sort(1000 + rng.choice(9000, B, replace=False)).astype(np.int32)
+    out2 = local_take_sorted(table, jnp.asarray(ids2))
+    ref2 = jnp.take(table, jnp.asarray(ids2), axis=0)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))

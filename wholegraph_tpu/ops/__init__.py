@@ -7,6 +7,12 @@ from .gather import (
     local_write,
     scatter,
 )
+from .gather_pallas import (
+    choose_gather_kernel,
+    gather_rows_window,
+    local_take_sorted,
+    window_coverage,
+)
 from . import spmm
 from .graph_ops import (
     add_self_loop_padded,
@@ -24,8 +30,12 @@ __all__ = [
     "spmm",
     "scatter",
     "local_take",
+    "local_take_sorted",
     "local_write",
     "local_add",
+    "choose_gather_kernel",
+    "gather_rows_window",
+    "window_coverage",
     "add_self_loop_padded",
     "append_unique",
     "csr_add_self_loop",

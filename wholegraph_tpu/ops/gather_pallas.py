@@ -356,6 +356,72 @@ def window_coverage(
     return covered / B, distinct / span
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def _local_take_sorted_impl(
+    shard: Array, slots: Array, *, tile: int, window: int
+) -> Array:
+    N, D = shard.shape
+    B = slots.shape[0]
+    slots = jnp.clip(slots.astype(jnp.int32), 0, N - 1)
+    out = gather_rows_window(shard, slots, tile=tile, window=window)
+    # repair pass: ids outside their tile's window re-fetched by the masked
+    # single-row DMA ring.  lax.cond => the repair kernel only RUNS on
+    # batches that actually have a miss, so well-windowed batches pay one
+    # any() reduce and nothing else.
+    pad = -B % tile
+    padded = (
+        jnp.concatenate([slots, jnp.full((pad,), N, jnp.int32)]) if pad else slots
+    )
+    nmax = (N - window) // _WALIGN * _WALIGN
+    w0 = jnp.clip(
+        padded.reshape(-1, tile)[:, :1] // _WALIGN * _WALIGN, 0, nmax
+    )
+    off = padded.reshape(-1, tile) - w0
+    miss = ((off < 0) | (off >= window)).reshape(-1)[:B]
+
+    def repair(o):
+        fix = gather_rows_masked(shard, jnp.where(miss, slots, -1))
+        return jnp.where(miss[:, None], fix, o)
+
+    return lax.cond(jnp.any(miss), repair, lambda o: o, out)
+
+
+def local_take_sorted(
+    shard: Array,
+    slots: Array,
+    *,
+    tile: int = 256,
+    window: int | None = None,
+    density: float = 1.0,
+) -> Array:
+    """Exact local gather for (mostly) SORTED slots: the windowed multi-row
+    DMA + MXU one-hot kernel for in-window rows, plus a masked single-row
+    repair pass (run only when a miss occurs) — always exact, fastest when
+    sorted-id density is high (dense deduped batches; see
+    choose_gather_kernel).  ``density`` (expected distinct-rows/span) sizes
+    the default window so misses stay rare.
+
+    Falls back to the general path for dtypes/shapes the window kernel does
+    not support.  Reference analog: the sorted/unique indices fast path of
+    gather_op.cpp:118-120 + sort_unique_indices_func.cu.
+    """
+    N, D = shard.shape
+    if window is None:
+        span = int(tile / max(min(density, 1.0), 0.05))
+        window = -(-span // _WALIGN) * _WALIGN + 2 * _WALIGN
+    usable = (
+        jax.default_backend() == "tpu"
+        and D % 128 == 0
+        and shard.dtype in (jnp.float32, jnp.bfloat16)
+        and slots.ndim == 1
+        and slots.shape[0] >= 4096
+        and N >= window + _WALIGN
+    )
+    if not usable:
+        return jnp.take(shard, slots, axis=0, mode="clip")
+    return _local_take_sorted_impl(shard, slots, tile=tile, window=window)
+
+
 def choose_gather_kernel(
     density: float, dtype, dim: int, *, desc_ns: float = 8.0, hbm_gbps: float = 819.0
 ) -> str:
@@ -365,8 +431,11 @@ def choose_gather_kernel(
     batch structure (cf. the dedup heuristic in ops/gather.py)."""
     rowbytes = dim * jnp.dtype(dtype).itemsize
     ring_rows_s = 1e9 / desc_ns  # one row per descriptor
-    fetch_rows_s = hbm_gbps * 1e9 * max(density, 1e-6) / rowbytes
-    flops_per_row = 2 * 1024 * dim  # default window
+    tile = 256
+    d = max(min(density, 1.0), 0.05)
+    window = -(-int(tile / d) // _WALIGN) * _WALIGN + 2 * _WALIGN
+    fetch_rows_s = hbm_gbps * 1e9 / (window / tile * rowbytes)
+    flops_per_row = 2 * window * dim
     mxu = 197e12 / 6 if jnp.dtype(dtype) == jnp.float32 else 197e12
     window_rows_s = min(fetch_rows_s, mxu / flops_per_row)
     return "window" if window_rows_s > 1.15 * ring_rows_s else "ring"
