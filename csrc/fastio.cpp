@@ -9,6 +9,11 @@
 //
 // Exposed as a tiny C ABI consumed via ctypes (wholegraph_tpu/io/native.py).
 
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE 1  // O_DIRECT
+#endif
+
+#include <algorithm>
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
@@ -18,19 +23,53 @@
 #include <unistd.h>
 #include <vector>
 
+#include <cstdlib>
+
 namespace {
 
 struct FileSpan {
   int fd;
   int64_t file_row_start;  // global row index of this file's first row
   int64_t rows;            // rows in this file
+  bool direct;             // fd opened with O_DIRECT
 };
+
+constexpr int64_t kDirectAlign = 4096;        // covers 512B and 4K sectors
+constexpr int64_t kDirectChunk = 4 << 20;     // bounce-buffer size
+
+// O_DIRECT pread with arbitrary offset/length through an aligned bounce
+// buffer (the reference's _directio read path, file_io.cpp:883, reads
+// block-aligned suffixes the same way).
+int pread_direct(int fd, unsigned char* dst, int64_t bytes, int64_t off,
+                 unsigned char* bounce) {
+  while (bytes > 0) {
+    int64_t aoff = off & ~(kDirectAlign - 1);
+    int64_t lead = off - aoff;
+    int64_t want = std::min(bytes + lead, kDirectChunk);
+    // O_DIRECT requires length alignment too; reading past EOF returns the
+    // short actual count, which is fine.
+    int64_t alen = (want + kDirectAlign - 1) & ~(kDirectAlign - 1);
+    ssize_t got = pread(fd, bounce, static_cast<size_t>(alen), aoff);
+    if (got < 0) {
+      if (errno == EINTR) continue;
+      return errno;
+    }
+    if (got <= lead) return EIO;  // unexpected EOF
+    int64_t usable = std::min(got - lead, bytes);
+    std::memcpy(dst, bounce + lead, static_cast<size_t>(usable));
+    dst += usable;
+    off += usable;
+    bytes -= usable;
+  }
+  return 0;
+}
 
 // Read rows [lo, hi) (global numbering over the file list) into out.
 // Returns 0 on success, errno-style code on failure.
 int read_range(const std::vector<FileSpan>& files, int64_t entry_size,
                int64_t lo, int64_t hi, unsigned char* out) {
   int64_t out_off = 0;
+  unsigned char* bounce = nullptr;
   for (const auto& f : files) {
     int64_t fbeg = f.file_row_start;
     int64_t fend = f.file_row_start + f.rows;
@@ -40,19 +79,38 @@ int read_range(const std::vector<FileSpan>& files, int64_t entry_size,
     int64_t bytes = (r1 - r0) * entry_size;
     int64_t foff = r0 * entry_size;
     unsigned char* dst = out + out_off;
+    if (f.direct) {
+      if (bounce == nullptr) {
+        void* p = nullptr;
+        if (posix_memalign(&p, kDirectAlign, kDirectChunk) != 0) return ENOMEM;
+        bounce = static_cast<unsigned char*>(p);
+      }
+      int rc = pread_direct(f.fd, dst, bytes, foff, bounce);
+      if (rc != 0) {
+        free(bounce);
+        return rc;
+      }
+      out_off += bytes;
+      continue;
+    }
     while (bytes > 0) {
       ssize_t got = pread(f.fd, dst, static_cast<size_t>(bytes), foff);
       if (got < 0) {
         if (errno == EINTR) continue;
+        if (bounce) free(bounce);
         return errno;
       }
-      if (got == 0) return EIO;  // unexpected EOF
+      if (got == 0) {
+        if (bounce) free(bounce);
+        return EIO;  // unexpected EOF
+      }
       dst += got;
       foff += got;
       bytes -= got;
       out_off += got;
     }
   }
+  if (bounce) free(bounce);
   return 0;
 }
 
@@ -62,20 +120,31 @@ extern "C" {
 
 // paths: nfiles NUL-terminated strings; file_starts: nfiles+1 cumulative row
 // counts; reads global rows [lo, hi) into out using up to nthreads threads.
-int wgtpu_read_rows(const char** paths, int nfiles, const int64_t* file_starts,
-                    int64_t entry_size, int64_t lo, int64_t hi,
-                    unsigned char* out, int nthreads) {
+// use_direct != 0 opens with O_DIRECT (page-cache bypass for cold bulk
+// loads, the reference's _directio variants file_io.cpp:883,1121), falling
+// back per file to buffered IO where the filesystem refuses it (tmpfs).
+int wgtpu_read_rows_v2(const char** paths, int nfiles,
+                       const int64_t* file_starts, int64_t entry_size,
+                       int64_t lo, int64_t hi, unsigned char* out,
+                       int nthreads, int use_direct) {
   if (lo >= hi) return 0;
   std::vector<FileSpan> files;
   files.reserve(nfiles);
   for (int i = 0; i < nfiles; ++i) {
     if (file_starts[i + 1] <= lo || file_starts[i] >= hi) continue;
-    int fd = open(paths[i], O_RDONLY);
+    bool direct = use_direct != 0;
+    int fd = -1;
+    if (direct) {
+      fd = open(paths[i], O_RDONLY | O_DIRECT);
+      if (fd < 0) direct = false;  // e.g. EINVAL on tmpfs: fall back
+    }
+    if (fd < 0) fd = open(paths[i], O_RDONLY);
     if (fd < 0) {
       for (auto& f : files) close(f.fd);
       return errno;
     }
-    files.push_back({fd, file_starts[i], file_starts[i + 1] - file_starts[i]});
+    files.push_back({fd, file_starts[i], file_starts[i + 1] - file_starts[i],
+                     direct});
   }
 
   int64_t total_rows = hi - lo;
@@ -97,6 +166,14 @@ int wgtpu_read_rows(const char** paths, int nfiles, const int64_t* file_starts,
   for (int rc : rcs)
     if (rc != 0) return rc;
   return 0;
+}
+
+// Back-compat entry point: buffered reads.
+int wgtpu_read_rows(const char** paths, int nfiles, const int64_t* file_starts,
+                    int64_t entry_size, int64_t lo, int64_t hi,
+                    unsigned char* out, int nthreads) {
+  return wgtpu_read_rows_v2(paths, nfiles, file_starts, entry_size, lo, hi,
+                            out, nthreads, 0);
 }
 
 // Write a buffer to a file (store_to_file analog,

@@ -48,13 +48,14 @@ def main():
         itemsize = jnp.dtype(dtype).itemsize
         table = jax.jit(lambda: jnp.ones((N, D), dtype))()
         for density, tile, window in cases:
-            ids = sorted_ids_density(rng, density, B)
-            cov, _ = window_coverage(ids, N, tile=tile, window=window)
+            ids_pair = [sorted_ids_density(rng, density, B) for _ in range(2)]
+            cov, _ = window_coverage(ids_pair[0], N, tile=tile, window=window)
             if float(cov) < 0.999:
                 print(f"skip d={density} t={tile} w={window} cov={float(cov)}")
                 continue
 
-            def step(i, tab, ids=ids, tile=tile, window=window):
+            def step(i, tab, ids_pair=ids_pair, tile=tile, window=window):
+                ids = jax.lax.switch(i % 2, [lambda x=x: x for x in ids_pair])
                 out = gather_rows_window(tab, ids, tile=tile, window=window)
                 return out[0, 0].astype(jnp.float32)
 

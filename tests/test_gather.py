@@ -76,6 +76,21 @@ def test_gather_dedup_heuristic(mesh8):
     np.testing.assert_allclose(np.asarray(out2), ref[ids2])
 
 
+def test_gather_local_kernel_sorted(mesh8):
+    """local_kernel='sorted' (windowed-DMA local take on TPU; plain take
+    elsewhere) is value-identical to the default on both sorted-dense and
+    duplicate-heavy batches."""
+    n, dim, B = 512, 16, 256
+    tab, ref = make_table(mesh8, n, dim)
+    rng = np.random.RandomState(11)
+    ids = np.sort(rng.randint(0, n, B)).astype(np.int64)
+    out = tab.gather(put_ids(mesh8, ids), local_kernel="sorted", dedup=True)
+    np.testing.assert_allclose(np.asarray(out), ref[ids], rtol=0, atol=0)
+    ids2 = rng.randint(0, 30, B).astype(np.int64)
+    out2 = tab.gather(put_ids(mesh8, ids2), local_kernel="sorted")
+    np.testing.assert_allclose(np.asarray(out2), ref[ids2], rtol=0, atol=0)
+
+
 def test_gather_int32_ids(mesh8):
     n, dim, B = 300, 8, 64
     tab, ref = make_table(mesh8, n, dim)

@@ -232,3 +232,30 @@ def test_async_checkpointer_table(mesh8, tmp_path):
         ckpt.save_table(tab, str(tmp_path), "tt")
     tab2 = load_table_checkpoint(mesh8, str(tmp_path), "tt")
     np.testing.assert_array_equal(tab2.to_array(), deterministic_rows(48, 16))
+
+
+def test_native_read_direct_io(tmp_path):
+    """O_DIRECT read variant (reference _directio loaders, file_io.cpp:883):
+    bit-identical to buffered reads, with per-file fallback where the
+    filesystem refuses O_DIRECT."""
+    from wholegraph_tpu.io.native import read_rows_native
+
+    rng = np.random.RandomState(5)
+    arrs = [rng.randn(100 + i * 7, 32).astype(np.float32) for i in range(3)]
+    paths = []
+    for i, a in enumerate(arrs):
+        p = str(tmp_path / f"d{i}.bin")
+        a.tofile(p)
+        paths.append(p)
+    starts = np.cumsum([0] + [a.shape[0] for a in arrs])
+    full = np.concatenate(arrs)
+    es = 32 * 4
+    for lo, hi in ((0, len(full)), (13, 250), (101, 129)):
+        out_b = np.empty((hi - lo) * es, np.uint8)
+        out_d = np.empty((hi - lo) * es, np.uint8)
+        read_rows_native(paths, starts, es, lo, hi, out_b, direct=False)
+        read_rows_native(paths, starts, es, lo, hi, out_d, direct=True)
+        np.testing.assert_array_equal(out_b, out_d)
+        np.testing.assert_array_equal(
+            out_d.view(np.float32).reshape(hi - lo, 32), full[lo:hi]
+        )

@@ -39,8 +39,8 @@ except Exception as e:
     raise ImportError(f"native io library not built: {e}") from e
 
 _lib = ctypes.CDLL(_LIB_PATH)
-_lib.wgtpu_read_rows.restype = ctypes.c_int
-_lib.wgtpu_read_rows.argtypes = [
+_lib.wgtpu_read_rows_v2.restype = ctypes.c_int
+_lib.wgtpu_read_rows_v2.argtypes = [
     ctypes.POINTER(ctypes.c_char_p),
     ctypes.c_int,
     ctypes.POINTER(ctypes.c_int64),
@@ -48,6 +48,7 @@ _lib.wgtpu_read_rows.argtypes = [
     ctypes.c_int64,
     ctypes.c_int64,
     ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.c_int,
     ctypes.c_int,
 ]
 
@@ -61,6 +62,11 @@ _lib.wgtpu_write_rows.argtypes = [
 
 DEFAULT_THREADS = min(os.cpu_count() or 4, 16)
 
+# O_DIRECT (page-cache bypass) for cold bulk loads; per-file fallback to
+# buffered IO where the filesystem refuses it (reference _directio variants,
+# file_io.cpp:883,1121).
+DIRECT_IO = os.environ.get("WGTPU_DIRECT_IO", "0") == "1"
+
 
 def read_rows_native(
     filelist: Sequence[str],
@@ -70,6 +76,7 @@ def read_rows_native(
     hi: int,
     out: np.ndarray,
     nthreads: int = DEFAULT_THREADS,
+    direct: bool | None = None,
 ) -> None:
     """Read global rows [lo, hi) of the filelist into out (uint8 flat)."""
     assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
@@ -78,7 +85,7 @@ def read_rows_native(
         *[p.encode() for p in filelist]
     )
     starts = np.ascontiguousarray(file_starts, dtype=np.int64)
-    rc = _lib.wgtpu_read_rows(
+    rc = _lib.wgtpu_read_rows_v2(
         paths,
         len(filelist),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -87,6 +94,7 @@ def read_rows_native(
         hi,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         nthreads,
+        1 if (DIRECT_IO if direct is None else direct) else 0,
     )
     if rc != 0:
         raise OSError(rc, f"native read failed: {os.strerror(rc)}")

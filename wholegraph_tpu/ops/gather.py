@@ -187,12 +187,24 @@ def bucket_by_owner(ids: Array, owner: Array, world: int, cap: int, fill):
 # ---------------------------------------------------------------------------
 
 
-def _serve_requests(shard: Array, req: Array, *, plan: PartitionPlan, oob):
+def _serve_requests(
+    shard: Array, req: Array, *, plan: PartitionPlan, oob, local_kernel: str = "ring"
+):
     """Local-take rows for a flat id-request buffer (sentinel → zero row).
-    Returns (rows, served_mask) — the plain device path serves everything."""
+    Returns (rows, served_mask) — the plain device path serves everything.
+
+    ``local_kernel='sorted'`` serves through the windowed multi-row-DMA
+    kernel (ops/gather_pallas.py local_take_sorted): exact for any request
+    pattern, fastest when requests arrive segment-sorted and dense — the
+    dedup path's buckets are sorted by construction."""
     valid = req < oob
     slots = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
-    rows = local_take(shard, slots)
+    if local_kernel == "sorted":
+        from .gather_pallas import local_take_sorted
+
+        rows = local_take_sorted(shard, slots)
+    else:
+        rows = local_take(shard, slots)
     return jnp.where(valid[:, None], rows, jnp.zeros_like(rows)), valid
 
 
@@ -267,6 +279,7 @@ def _gather_shard_a2a(
     cap: int,
     exact: bool = True,
     dedup: bool = False,
+    local_kernel: str = "ring",
 ):
     """Per-device distributed gather: bucket → a2a ids → local take → a2a rows
     → un-permute (gather_op_impl_nccl.cu:101-170 analog).
@@ -293,7 +306,8 @@ def _gather_shard_a2a(
         leader = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
         uids = jnp.where(leader, sids, oob)
         urows = _gather_shard_a2a(
-            shard, uids, plan=plan, axis=axis, cap=cap, exact=exact, dedup=False
+            shard, uids, plan=plan, axis=axis, cap=cap, exact=exact, dedup=False,
+            local_kernel=local_kernel,
         )
         # expand: each original id finds its representative's position
         pos = jnp.searchsorted(sids, ids)
@@ -305,7 +319,9 @@ def _gather_shard_a2a(
 
     out = jnp.zeros((B, shard.shape[1]), shard.dtype)
     delivered = ~in_range
-    serve = functools.partial(_serve_requests, shard, plan=plan, oob=oob)
+    serve = functools.partial(
+        _serve_requests, shard, plan=plan, oob=oob, local_kernel=local_kernel
+    )
     return gather_exact_loop(
         serve, ids, owner0, out, delivered,
         world=world, axis=axis, cap=cap, oob=oob, exact=exact,
@@ -590,7 +606,7 @@ def _bucket_cap(B_local: int, world: int, factor: float) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False):
+def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False, local_kernel="ring"):
     """Jitted shard_map gather, cached per static config — eager callers pay
     compile once, not per-op dispatch through the mesh."""
     if method == "allgather":
@@ -598,12 +614,12 @@ def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False):
     elif method == "a2a":
         body = functools.partial(
             _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=True,
-            dedup=dedup,
+            dedup=dedup, local_kernel=local_kernel,
         )
     elif method == "a2a_capped":
         body = functools.partial(
             _gather_shard_a2a, plan=plan, axis=axis, cap=cap, exact=False,
-            dedup=dedup,
+            dedup=dedup, local_kernel=local_kernel,
         )
     elif method == "ragged":
         body = functools.partial(
@@ -675,6 +691,7 @@ def gather(
     method: str = "auto",
     capacity_factor: float = 2.0,
     dedup: bool = False,
+    local_kernel: str = "ring",
 ) -> Array:
     """Gather rows by logical id from a row-sharded table.
 
@@ -695,6 +712,10 @@ def gather(
       dedup: sort-unique the ids before the exchange (reference
         sorted-ids heuristic, gather_op.cpp:118-120) — wire volume scales
         with unique ids; enable for batches with many repeats.
+      local_kernel: 'ring' (single-row DMA ring) or 'sorted' (windowed
+        multi-row DMA + MXU one-hot select with exact repair — fastest when
+        the served requests are sorted and dense; pair with ``dedup=True``.
+        See ops.choose_gather_kernel for the crossover).
     Returns:
       rows ``[B, D]`` with the same sharding as ``ids``.
     """
@@ -702,6 +723,10 @@ def gather(
     check_input(axis_size(mesh, axis) == world, "mesh axis size != plan.world")
     if world == 1:
         phys = plan.physical_index(ids)
+        if local_kernel == "sorted":
+            from .gather_pallas import local_take_sorted
+
+            return local_take_sorted(data, phys)
         return local_take(data, phys)
 
     if data.ndim == 1:  # 1-D tables (e.g. CSR row_ptr/col): lift to [n, 1]
@@ -735,7 +760,7 @@ def gather(
         cap = min(cap, world * B_local)
     else:
         cap = 0
-    fn = _build_gather_fn(plan, mesh, axis, method, cap, dedup)
+    fn = _build_gather_fn(plan, mesh, axis, method, cap, dedup, local_kernel)
     return fn(data, ids)
 
 

@@ -234,7 +234,7 @@ _WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
 
 
 def _window_gather_kernel(
-    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, window, nt, acc_prec
+    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, window, nt
 ):
     t = pl.program_id(0)
 
@@ -262,16 +262,27 @@ def _window_gather_kernel(
     ids = ids_ref[...]  # [tile, 1] int32
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     dtype = out_ref.dtype
-    onehot = (ids - w0s_ref[t] == col).astype(
-        jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    )
-    rows = jax.lax.dot_general(
-        onehot,
-        win[slot],
-        (((1,), (0,)), ((), ())),
-        precision=acc_prec,
-        preferred_element_type=jnp.float32,
-    )
+    onehot = (ids - w0s_ref[t] == col).astype(jnp.bfloat16)  # 0/1: exact
+
+    def bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if dtype == jnp.bfloat16:
+        rows = bdot(onehot, win[slot])
+    else:
+        # bit-exact f32 select in 3 bf16 MXU passes: split each f32 into
+        # three disjoint-mantissa bf16 pieces (24 = 3x8 bits); the one-hot
+        # picks one element's pieces and their f32 sum reconstructs it
+        # exactly (cheaper than Precision.HIGHEST's 6 passes, same result
+        # because the one-hot operand needs no splitting).
+        w = win[slot]
+        hi = w.astype(jnp.bfloat16)
+        r = w - hi.astype(jnp.float32)
+        mid = r.astype(jnp.bfloat16)
+        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rows = bdot(onehot, hi) + bdot(onehot, mid) + bdot(onehot, lo)
     out_ref[...] = rows.astype(dtype)
 
 
@@ -303,18 +314,9 @@ def gather_rows_window(
     nt = Bp // tile
     nmax = (N - window) // _WALIGN * _WALIGN
     w0s = jnp.clip(ids[::tile] // _WALIGN * _WALIGN, 0, nmax)
-    acc_prec = (
-        jax.lax.Precision.DEFAULT
-        if table.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
     out = pl.pallas_call(
         functools.partial(
-            _window_gather_kernel,
-            tile=tile,
-            window=window,
-            nt=nt,
-            acc_prec=acc_prec,
+            _window_gather_kernel, tile=tile, window=window, nt=nt
         ),
         grid=(nt,),
         in_specs=[
@@ -386,6 +388,30 @@ def _local_take_sorted_impl(
     return lax.cond(jnp.any(miss), repair, lambda o: o, out)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _local_take_sorted_vjp(shard, slots, tile, window):
+    return _local_take_sorted_impl(shard, slots, tile=tile, window=window)
+
+
+def _lts_fwd(shard, slots, tile, window):
+    return _local_take_sorted_vjp(shard, slots, tile, window), (slots, shard)
+
+
+def _lts_bwd(tile, window, res, ct):
+    slots, shard = res
+    clipped = jnp.clip(slots, 0, shard.shape[0] - 1)
+    dshard = (
+        jnp.zeros(shard.shape, ct.dtype)
+        .at[clipped]
+        .add(ct, mode="drop")
+        .astype(shard.dtype)
+    )
+    return dshard, jnp.zeros(slots.shape, jax.dtypes.float0)
+
+
+_local_take_sorted_vjp.defvjp(_lts_fwd, _lts_bwd)
+
+
 def local_take_sorted(
     shard: Array,
     slots: Array,
@@ -419,7 +445,7 @@ def local_take_sorted(
     )
     if not usable:
         return jnp.take(shard, slots, axis=0, mode="clip")
-    return _local_take_sorted_impl(shard, slots, tile=tile, window=window)
+    return _local_take_sorted_vjp(shard, slots, tile, window)
 
 
 def choose_gather_kernel(

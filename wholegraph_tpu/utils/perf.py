@@ -71,7 +71,11 @@ def measure_chain(step_fn: Callable, n_iters: int = 8, *args) -> float:
     @jax.jit
     def chain(n, *a):
         def body(i, acc):
-            return acc + step_fn(i, *a)
+            # thread the carry into i: XLA cannot prove acc*0 == 0 for
+            # floats (NaN/Inf), so steps keyed on i are provably
+            # loop-dependent and cannot be hoisted out of the timing loop
+            ii = i + (acc * 0).astype(jnp.int32)
+            return acc + step_fn(ii, *a)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
