@@ -135,12 +135,20 @@ def test_sampler_element_fetch_parity():
 
 
 def test_weighted_sampling_parity_tpu():
-    """Weighted A-Res sampler on real TPU hardware: bit-exact vs the host
-    replay, through the degree-ladder lax.switch (r1 weak #5)."""
+    """Weighted A-Res sampler on real TPU hardware vs the host replay,
+    through the degree-ladder lax.switch (r1 weak #5).
+
+    Unlike the CPU mesh (bit-exact, tests/test_sampling.py), TPU `log` differs
+    from numpy's in final ULPs, so top-K ranks may flip between near-tie keys.
+    The test therefore asserts rank parity UP TO ULP-level key ties: any
+    position that differs from the host replay must carry a host-side key
+    within 5e-4 relative of the host pick at the same rank (TPU log error
+    measured up to ~1e-4 relative on the key)."""
     import sys, os
     sys.path.insert(0, os.path.dirname(__file__))
     from wholegraph_tpu.testing import host_sample_weighted, random_csr
-    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+    from wholegraph_tpu.ops import rng
+    from wholegraph_tpu.ops.sampling import _HOP_STRIDE, csr_sample_neighbors
 
     row_ptr, col = random_csr(300, avg_deg=18, seed=7, max_deg=900)
     weights = (np.random.RandomState(8).rand(row_ptr[-1]) + 0.1).astype(np.float32)
@@ -155,37 +163,87 @@ def test_weighted_sampling_parity_tpu():
         row_ptr, col, weights, centers, K, seed=21, hop=1
     )
     np.testing.assert_array_equal(np.asarray(res.mask), h_mask)
-    np.testing.assert_array_equal(np.asarray(res.positions) * h_mask, h_pos * h_mask)
+    d_pos = np.asarray(res.positions)
+    mism = np.argwhere((d_pos != h_pos) & h_mask)
+    # near-total agreement, and every disagreement is a ULP-tie rank flip
+    assert len(mism) <= 0.02 * h_mask.sum(), len(mism)
+    for i, j in mism:
+        c = centers[i]
+        start, deg = row_ptr[c], row_ptr[c + 1] - row_ptr[c]
+        offs = np.arange(deg, dtype=np.uint32)
+        u = rng.rand_uniform_np(
+            21, np.full(deg, c, np.uint32), np.uint32(_HOP_STRIDE) + offs
+        )
+        w = weights[start : start + deg].astype(np.float32)
+        key = np.log(np.maximum(u, 1e-20)) / np.maximum(w, 1e-30)
+        kd, kh = key[d_pos[i, j]], key[h_pos[i, j]]
+        assert abs(kd - kh) <= 5e-4 * abs(kh), (i, j, kd, kh)
 
 
 def test_host_dma_masked_gather_scatter():
     """Pinned-host pallas DMA path (device_cached_host cold fetch): masked
-    gather from and scatter to a pltpu.MemorySpace.HOST memref."""
+    gather from and scatter to a FLAT pltpu.MemorySpace.HOST memref via the
+    4 KB page kernels (D=256 f32 -> 4 rows/page: exercises in-page select on
+    gather and the dedup fetch-merge-write RMW on scatter)."""
     from jax.sharding import SingleDeviceSharding
 
-    from wholegraph_tpu.ops.gather_pallas import gather_rows_masked, scatter_rows_masked
+    from wholegraph_tpu.ops.gather_pallas import host_gather_rows, host_scatter_rows
 
     dev = jax.devices()[0]
     N, D, B = 50_000, 256, 2048
     table = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
-    table_h = jax.device_put(table, SingleDeviceSharding(dev, memory_kind="pinned_host"))
+    flat_h = jax.device_put(
+        table.reshape(-1), SingleDeviceSharding(dev, memory_kind="pinned_host")
+    )
     rs = np.random.RandomState(1)
     slots = rs.randint(0, N, B).astype(np.int32)
     slots[::3] = -1  # masked: skipped DMAs, garbage rows
-    out = gather_rows_masked(table_h, jnp.asarray(slots), host_table=True)
+    out = host_gather_rows(flat_h, jnp.asarray(slots), dim=D)
     valid = slots >= 0
     np.testing.assert_allclose(
         np.asarray(out)[valid], np.asarray(table)[slots[valid]], rtol=1e-6
     )
-    # scatter back: masked slots untouched
+    # scatter back: masked slots untouched; written slots unique (RMW contract)
     uniq = np.unique(slots[valid])[:512].astype(np.int32)
     wslots = np.full(1024, -1, np.int32)
     wslots[: len(uniq)] = uniq
     rows = jnp.ones((1024, D), jnp.float32) * 7.0
-    new_h = scatter_rows_masked(table_h, jnp.asarray(wslots), rows, host_table=True)
-    got = np.asarray(jax.device_get(new_h))
+    new_h = host_scatter_rows(flat_h, jnp.asarray(wslots), rows, dim=D)
+    got = np.asarray(jax.device_get(new_h)).reshape(N, D)
     np.testing.assert_allclose(got[uniq], 7.0)
     untouched = np.setdiff1d(np.arange(N), uniq)[:500]
+    np.testing.assert_allclose(got[untouched], np.asarray(table)[untouched], rtol=1e-6)
+
+
+def test_host_dma_whole_page_rows():
+    """Host tier at D=1024 f32 (row == one 4 KB page): direct row DMAs, no
+    RMW on scatter."""
+    from jax.sharding import SingleDeviceSharding
+
+    from wholegraph_tpu.ops.gather_pallas import host_gather_rows, host_scatter_rows
+
+    dev = jax.devices()[0]
+    N, D, B = 4_000, 1024, 1024
+    table = jax.random.normal(jax.random.PRNGKey(3), (N, D), jnp.float32)
+    flat_h = jax.device_put(
+        table.reshape(-1), SingleDeviceSharding(dev, memory_kind="pinned_host")
+    )
+    rs = np.random.RandomState(4)
+    slots = rs.randint(0, N, B).astype(np.int32)
+    slots[::5] = -1
+    out = host_gather_rows(flat_h, jnp.asarray(slots), dim=D)
+    valid = slots >= 0
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(table)[slots[valid]], rtol=1e-6
+    )
+    uniq = np.unique(slots[valid])[:256].astype(np.int32)
+    wslots = np.full(512, -1, np.int32)
+    wslots[: len(uniq)] = uniq
+    rows = jnp.full((512, D), 3.0, jnp.float32)
+    new_h = host_scatter_rows(flat_h, jnp.asarray(wslots), rows, dim=D)
+    got = np.asarray(jax.device_get(new_h)).reshape(N, D)
+    np.testing.assert_allclose(got[uniq], 3.0)
+    untouched = np.setdiff1d(np.arange(N), uniq)[:200]
     np.testing.assert_allclose(got[untouched], np.asarray(table)[untouched], rtol=1e-6)
 
 
@@ -234,6 +292,43 @@ def test_gather_rows_window_bitexact():
         assert float(cov) > 0.9
 
 
+def test_gather_rows_window_grouped_bitexact():
+    """Grouped sub-tile window gather (one DMA, group one-hot matmuls over
+    static sub-slices): bit-exact vs take for in-window rows, and misses
+    (drifted ids) are exactly the rows window_coverage predicts."""
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_window, window_coverage
+
+    N, D, B = 200_000, 256, 8192
+    rng = np.random.RandomState(11)
+    for dtype, density in ((jnp.float32, 0.93), (jnp.bfloat16, 1.0)):
+        table = jax.jit(
+            lambda: (jax.random.normal(jax.random.PRNGKey(8), (N, D)) * 50).astype(
+                dtype
+            )
+        )()
+        span = int(B / density)
+        ids = np.sort(5_000 + rng.choice(span, B, replace=False)).astype(np.int32)
+        idsj = jnp.asarray(ids)
+        tile, group, wsub = 128, 8, 224
+        window = (group - 1) * tile + wsub
+        out = gather_rows_window(table, idsj, tile=tile, window=window, group=group)
+        ref = jnp.take(table, idsj, axis=0)
+        outn, refn = np.asarray(out), np.asarray(ref)
+        # covered mask mirrors the kernel: per step of tile*group ids,
+        # sub-tile g selects from [w0 + g*tile, w0 + g*tile + wsub)
+        step = tile * group
+        w0 = np.clip((ids.reshape(-1, step)[:, :1] // 32) * 32, 0,
+                     (N - window) // 32 * 32)
+        off = ids.reshape(-1, group, tile) - w0[:, :, None] \
+            - (np.arange(group) * tile)[None, :, None]
+        covered = ((off >= 0) & (off < wsub)).reshape(-1)
+        np.testing.assert_array_equal(outn[covered], refn[covered])
+        assert (outn[~covered] == 0).all()
+        cov, _ = window_coverage(idsj, N, tile=tile, window=window, group=group)
+        np.testing.assert_allclose(float(cov), covered.mean(), atol=1e-6)
+        assert float(cov) > 0.9
+
+
 def test_local_take_sorted_exact_any_coverage():
     """local_take_sorted repairs out-of-window ids: exact even for ids that
     violate the window contract (huge jumps inside a tile)."""
@@ -254,3 +349,46 @@ def test_local_take_sorted_exact_any_coverage():
     out2 = local_take_sorted(table, jnp.asarray(ids2))
     ref2 = jnp.take(table, jnp.asarray(ids2), axis=0)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def test_host_embedding_train_step_tpu():
+    """Full device_cached_host embedding on hardware: pinned-host table +
+    HBM cache, gather serves hits from HBM and misses over the host link,
+    apply_gradients updates host rows (page RMW) + cached lines coherently.
+    Mirrors tests/test_host_embedding.py's CPU-mesh parity on the real
+    pinned-host placement (reference: embedding.cpp:564-767)."""
+    from wholegraph_tpu.embedding.host_embedding import HostEmbedding
+    from wholegraph_tpu.embedding.optimizers import SGD
+    from wholegraph_tpu.parallel import create_global_mesh
+
+    mesh = create_global_mesh()
+    n, dim = 3_000, 256
+    emb = HostEmbedding.create(
+        mesh, n, dim, optimizer=SGD(), cache_ratio=0.25
+    )
+    rs = np.random.RandomState(5)
+    arr = rs.randn(n, dim).astype(np.float32)
+    hot = np.arange(0, n, 3)  # every 3rd row cached
+    state = emb.from_array(arr, hot_ids=hot)
+
+    ids_np = rs.randint(0, n, 512).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+    rows = emb.gather(state, ids)
+    np.testing.assert_allclose(np.asarray(rows), arr[ids_np], rtol=1e-6)
+
+    # one SGD step with known grads; replay in numpy
+    uids_np = np.unique(ids_np)[:256]
+    uids = jnp.asarray(
+        np.concatenate([uids_np, np.full(256 - len(uids_np), n, np.int32)])
+        if len(uids_np) < 256 else uids_np[:256]
+    )
+    grads = jnp.ones((256, dim), jnp.float32) * 0.5
+    state = emb.apply_gradients(state, uids, grads, lr=0.1)
+    expect = arr.copy()
+    valid = np.asarray(uids) < n
+    expect[np.asarray(uids)[valid]] -= 0.1 * 0.5
+    np.testing.assert_allclose(emb.to_array(state), expect, rtol=1e-5)
+
+    # gather again: cached rows must reflect the update (coherence)
+    rows2 = emb.gather(state, ids)
+    np.testing.assert_allclose(np.asarray(rows2), expect[ids_np], rtol=1e-5)

@@ -11,10 +11,11 @@ plus the cached lines, ``update_cache_direct_same_comm`` :640-650).
 TPU mapping:
 
 * the host shard is a ``pinned_host`` jax array (``jax.memories``); on TPU
-  the cold fetch is a pallas DMA ring whose table memref lives in
-  ``pltpu.MemorySpace.HOST`` (PCIe traffic proportional to actual misses —
-  slots < 0 are skipped, see ops/gather_pallas.py masked kernels); on the
-  CPU backend host == device and plain takes are used.
+  the cold fetch is a pallas DMA ring over a FLAT ``pltpu.MemorySpace.HOST``
+  memref moving 4 KB pages (the Mosaic host-DMA granularity — see the
+  host-space constraints block in ops/gather_pallas.py; traffic stays
+  proportional to actual misses, slots < 0 are skipped); on the CPU backend
+  host == device and plain takes are used.
 * the cache is NOT an LFU set-associative structure: under XLA static
   shapes a static hot set (e.g. top-degree rows — the steady state LFU
   converges to on power-law access) with an O(1) slot→line map
@@ -51,37 +52,56 @@ from .optimizers import SGD, SparseOptimizer
 Array = jax.Array
 
 
-def _use_host_kernels(dim: int) -> bool:
+def _use_host_kernels(dim: int, dtype=jnp.float32) -> bool:
     """Real pinned-host placement + pallas HOST-space DMA only exist on TPU;
     on the CPU backend host and device are the same physical memory, so the
     tier is emulated with ordinary arrays (all routing/cache/coherence logic
-    is identical, only the placement differs)."""
-    return jax.default_backend() == "tpu" and dim % 128 == 0
+    is identical, only the placement differs).  On TPU the row size must map
+    onto 4 KB host pages (ops/gather_pallas.py host_layout) for the table
+    dtype AND f32 (the optimizer slot tables are host-located f32)."""
+    from ..ops.gather_pallas import host_layout
+
+    return (
+        jax.default_backend() == "tpu"
+        and dim % 128 == 0
+        and host_layout(dim, dtype)[0] > 0
+        and host_layout(dim, jnp.float32)[0] > 0
+    )
 
 
-def _host_take(host_shard: Array, slots: Array) -> Array:
-    """Masked host-row fetch: slots < 0 → skipped (garbage row, mask it).
+def _host_take(host_shard: Array, slots: Array, dim: int) -> Array:
+    """Masked host-row fetch from a FLAT host shard (row r =
+    host_shard[r*dim:+dim]; slots < 0 → skipped: garbage row, mask it).
 
-    TPU: pallas DMA ring over the HOST memref — PCIe bytes proportional to
-    the real (non-negative) slots, never a full-shard copy."""
-    if _use_host_kernels(host_shard.shape[1]):
-        from ..ops.gather_pallas import gather_rows_masked
+    TPU: pallas DMA ring over the flat HOST memref — PCIe bytes proportional
+    to the real (non-negative) slots, never a full-shard copy.  Host shards
+    are stored flat by contract: host-space buffers cannot be reshaped
+    in-program (see gather_pallas host-space constraints)."""
+    if _use_host_kernels(dim, host_shard.dtype):
+        from ..ops.gather_pallas import host_gather_rows
 
-        return gather_rows_masked(host_shard, slots, host_table=True)
+        return host_gather_rows(host_shard, slots, dim=dim)
     safe = jnp.where(slots >= 0, slots, 0)
-    return jnp.take(host_shard, safe, axis=0, mode="clip")
+    return jnp.take(host_shard.reshape(-1, dim), safe, axis=0, mode="clip")
 
 
-def _host_write(host_shard: Array, slots: Array, rows: Array) -> Array:
-    """Masked host-row writeback: slots < 0 → skipped."""
-    if _use_host_kernels(host_shard.shape[1]):
-        from ..ops.gather_pallas import scatter_rows_masked
+def _host_write(host_shard: Array, slots: Array, rows: Array, dim: int) -> Array:
+    """Masked host-row writeback to a FLAT host shard: slots < 0 → skipped;
+    non-negative slots must be unique (page-RMW contract, host_scatter_rows)."""
+    if _use_host_kernels(dim, host_shard.dtype):
+        from ..ops.gather_pallas import host_scatter_rows
 
-        return scatter_rows_masked(
-            host_shard, slots, rows.astype(host_shard.dtype), host_table=True
+        return host_scatter_rows(
+            host_shard, slots, rows.astype(host_shard.dtype), dim=dim
         )
-    safe = jnp.where(slots >= 0, slots, host_shard.shape[0])
-    return host_shard.at[safe].set(rows.astype(host_shard.dtype), mode="drop")
+    n = host_shard.shape[0] // dim
+    safe = jnp.where(slots >= 0, slots, n)
+    return (
+        host_shard.reshape(-1, dim)
+        .at[safe]
+        .set(rows.astype(host_shard.dtype), mode="drop")
+        .reshape(-1)
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -89,8 +109,8 @@ def _host_write(host_shard: Array, slots: Array, rows: Array) -> Array:
 class HostEmbeddingState:
     """Traced state: pinned-host table + host optimizer slots + HBM cache."""
 
-    host_table: Array  # [world*capacity, D] pinned_host, P(axis, None)
-    host_slots: Dict[str, Array]  # optimizer state rows, pinned_host
+    host_table: Array  # [world*capacity*D] FLAT pinned_host, P(axis)
+    host_slots: Dict[str, Array]  # optimizer state rows, flat pinned_host
     cache_map: Array  # [world*capacity] int32 P(axis): local slot -> line | -1
     cache_rows: Array  # [world*hot_cap, D] HBM P(axis, None)
     step: Array
@@ -116,13 +136,14 @@ def _serve_cached_host(
 ):
     """Owner-side serve: cache hits from HBM, misses from pinned host
     (gather_cached_func.cu:30 analog).  Returns (rows, served)."""
+    dim = cache_rows_shard.shape[1]
     valid = req < oob
     slot = jnp.where(valid, plan.local_slot(jnp.where(valid, req, 0)), 0)
     line = jnp.take(cache_map_shard, slot, mode="clip")
     hit = valid & (line >= 0)
     hot = jnp.take(cache_rows_shard, jnp.where(hit, line, 0), axis=0, mode="clip")
     miss = valid & ~hit
-    cold = _host_take(host_shard, jnp.where(miss, slot, -1))
+    cold = _host_take(host_shard, jnp.where(miss, slot, -1), dim)
     rows = jnp.where(hit[:, None], hot, jnp.where(miss[:, None], cold, 0))
     return rows, jnp.ones_like(valid)
 
@@ -136,7 +157,9 @@ def _host_gather_shard(
     oob = jnp.asarray(plan.n, idt)
     owner0 = plan.owner(ids).astype(jnp.int32)
     in_range = (ids >= 0) & (ids < oob)
-    out = jnp.zeros((ids.shape[0], host_shard.shape[1]), host_shard.dtype)
+    out = jnp.zeros(
+        (ids.shape[0], cache_rows_shard.shape[1]), host_shard.dtype
+    )
     serve = functools.partial(
         _serve_cached_host, host_shard, cache_map_shard, cache_rows_shard,
         plan=plan, oob=oob,
@@ -186,19 +209,24 @@ def _host_apply_shard(
     mslot = jnp.where(valid, slot, -1)
 
     # read current rows + optimizer state from host (cache is coherent, so
-    # host is always correct to read)
-    w = _host_take(host_shard, mslot).astype(jnp.float32)
+    # host is always correct to read); pend_ids are deduped (unique) — the
+    # page-RMW writeback contract of host_scatter_rows
+    dim = cache_rows_shard.shape[1]
+    w = _host_take(host_shard, mslot, dim).astype(jnp.float32)
     w = jnp.where(valid[:, None], w, 0.0)
     srow = {
-        n: jnp.where(valid[:, None], _host_take(s, mslot).astype(jnp.float32), 0.0)
+        n: jnp.where(
+            valid[:, None], _host_take(s, mslot, dim).astype(jnp.float32), 0.0
+        )
         for n, s in zip(slot_names, host_slot_shards)
     }
     new_rows, new_srow = opt.update(w, pend_grads, srow, step, lr)
 
     # write back: host shard (source of truth) + any cached lines
-    host_shard = _host_write(host_shard, mslot, new_rows)
+    host_shard = _host_write(host_shard, mslot, new_rows, dim)
     new_slot_shards = tuple(
-        _host_write(s, mslot, new_srow[n]) for n, s in zip(slot_names, host_slot_shards)
+        _host_write(s, mslot, new_srow[n], dim)
+        for n, s in zip(slot_names, host_slot_shards)
     )
     line = jnp.take(cache_map_shard, slot, mode="clip")
     hit = valid & (line >= 0)
@@ -239,9 +267,33 @@ class HostEmbedding:
         """cache_ratio mirrors the reference's cache_ratio policy knob
         (embedding.h cache policy; embedding_cache.hpp:27-33)."""
         world = _axis_size(mesh, axis)
+        rpp = 1
+        if _use_host_kernels(dim, dtype):
+            from ..ops.gather_pallas import host_layout
+
+            # capacity must page-align for BOTH the table dtype and the f32
+            # optimizer slot tables (rows-per-page are powers of two, so the
+            # max covers both)
+            rpp = max(host_layout(dim, dtype)[1], host_layout(dim, jnp.float32)[1])
         if plan is None:
             plan = PartitionPlan.equal(n, world)
+            if plan.capacity % rpp:
+                # page kernels DMA whole pages: the last slot's page must be
+                # in-bounds, so the per-shard capacity is page-aligned
+                plan = dataclasses.replace(
+                    plan, capacity=plan.capacity + (-plan.capacity % rpp)
+                )
         check_input(plan.world == world, "plan world != mesh axis size")
+        check_input(
+            plan.capacity % rpp == 0,
+            "host-table plan capacity must be a multiple of rows-per-page "
+            f"({rpp} for dim={dim})",
+        )
+        check_input(
+            plan.capacity * dim < 2**31,
+            "host shard exceeds the int32 page-offset range (2^31 elements "
+            "per shard); shard over more devices",
+        )
         hot_cap = max(int(plan.capacity * cache_ratio), 1)
         return HostEmbedding(
             plan=plan, dim=dim, mesh=mesh, hot_cap=hot_cap, axis=axis,
@@ -252,7 +304,7 @@ class HostEmbedding:
         return NamedSharding(self.mesh, spec)
 
     def _host_sharding(self, spec):
-        if _use_host_kernels(self.dim):
+        if _use_host_kernels(self.dim, self.dtype):
             return NamedSharding(self.mesh, spec, memory_kind="pinned_host")
         return NamedSharding(self.mesh, spec)  # CPU: host == device
 
@@ -284,12 +336,15 @@ class HostEmbedding:
                 cmap[s * plan.capacity + slot[sel]] = lines
                 crows[s * self.hot_cap + lines] = arr[hot_ids[sel]]
 
+        # host shards are stored FLAT (host memrefs cannot be reshaped
+        # in-program — gather_pallas host-space constraints)
         host_table = jax.device_put(
-            phys.astype(np.dtype(self.dtype)), self._host_sharding(P(self.axis, None))
+            phys.astype(np.dtype(self.dtype)).reshape(-1),
+            self._host_sharding(P(self.axis)),
         )
-        zeros = np.zeros_like(phys, dtype=np.float32)
+        zeros = np.zeros((phys.size,), dtype=np.float32)
         host_slots = {
-            nme: jax.device_put(zeros.copy(), self._host_sharding(P(self.axis, None)))
+            nme: jax.device_put(zeros.copy(), self._host_sharding(P(self.axis)))
             for nme in self.optimizer.slot_names
         }
         cache_map = jax.device_put(cmap, self._sharding(P(self.axis)))
@@ -368,7 +423,7 @@ class HostEmbedding:
     # -- host access ----------------------------------------------------------
 
     def to_array(self, state: HostEmbeddingState) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.host_table))
+        phys = np.asarray(jax.device_get(state.host_table)).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
 
     def cache_hit_fraction(self, state: HostEmbeddingState, ids) -> float:
@@ -391,7 +446,7 @@ def _build_host_gather_fn(emb: HostEmbedding, cap: int):
             body,
             mesh=emb.mesh,
             in_specs=(
-                P(emb.axis, None),
+                P(emb.axis),  # flat host table
                 P(emb.axis),
                 P(emb.axis, None),
                 P(emb.axis),
@@ -413,12 +468,12 @@ def _build_host_apply_fn(emb: HostEmbedding, cap: int, slot_names: tuple):
         slot_names=slot_names,
     )
     dev_sh = NamedSharding(emb.mesh, P(emb.axis, None))
-    host_sh = (
-        NamedSharding(emb.mesh, P(emb.axis, None), memory_kind="pinned_host")
-        if _use_host_kernels(emb.dim)
-        else dev_sh
+    host_flat_sh = (
+        NamedSharding(emb.mesh, P(emb.axis), memory_kind="pinned_host")
+        if _use_host_kernels(emb.dim, emb.dtype)
+        else NamedSharding(emb.mesh, P(emb.axis))
     )
-    outs = (host_sh, tuple(host_sh for _ in slot_names), dev_sh)
+    outs = (host_flat_sh, tuple(host_flat_sh for _ in slot_names), dev_sh)
     if emb.plan.world == 1:
         return jax.jit(body, donate_argnums=(0, 1, 3), out_shardings=outs)
     return jax.jit(
@@ -426,8 +481,8 @@ def _build_host_apply_fn(emb: HostEmbedding, cap: int, slot_names: tuple):
             body,
             mesh=emb.mesh,
             in_specs=(
-                P(emb.axis, None),
-                tuple(P(emb.axis, None) for _ in slot_names),
+                P(emb.axis),  # flat host table
+                tuple(P(emb.axis) for _ in slot_names),
                 P(emb.axis),
                 P(emb.axis, None),
                 P(emb.axis),
@@ -437,8 +492,8 @@ def _build_host_apply_fn(emb: HostEmbedding, cap: int, slot_names: tuple):
                 P(),
             ),
             out_specs=(
-                P(emb.axis, None),
-                tuple(P(emb.axis, None) for _ in slot_names),
+                P(emb.axis),
+                tuple(P(emb.axis) for _ in slot_names),
                 P(emb.axis, None),
             ),
             check_vma=False,

@@ -126,17 +126,34 @@ def load_embedding(emb: Embedding, directory: str, name: str) -> EmbeddingState:
     return EmbeddingState(table.data, slots, jnp.asarray(meta["step"], jnp.int32))
 
 
+def _flat_host_parts(flat, plan, dim: int, path_prefix: str):
+    """Part files for a FLAT host-tier shard array (row r of shard s is
+    flat[(s*capacity + r)*dim : +dim]); identical bytes to the 2-D layout,
+    so the files interop with load_table_from_parts."""
+    import jax
+
+    phys = np.asarray(jax.device_get(flat)).reshape(-1, dim)
+    cap = plan.capacity
+    return [
+        (
+            f"{path_prefix}_part_{s}_of_{plan.world}",
+            phys[s * cap : s * cap + plan.shard_rows[s]],
+        )
+        for s in range(plan.world)
+    ]
+
+
 def _host_embedding_manifest(emb, state, directory: str, name: str) -> Manifest:
     import jax
 
     os.makedirs(directory, exist_ok=True)
-    files = _table_parts(
-        ShardedTable(state.host_table, emb.plan, emb.mesh, emb.axis),
+    files = _flat_host_parts(
+        state.host_table, emb.plan, emb.dim,
         os.path.join(directory, f"{name}_embedding_tensor"),
     )
     for slot_name, arr in state.host_slots.items():
-        files += _table_parts(
-            ShardedTable(arr, emb.plan, emb.mesh, emb.axis),
+        files += _flat_host_parts(
+            arr, emb.plan, emb.dim,
             os.path.join(directory, f"{name}_{slot_name}"),
         )
     cmap = np.asarray(jax.device_get(state.cache_map))
@@ -199,7 +216,11 @@ def load_host_embedding(emb, directory: str, name: str):
             pc, emb.mesh, emb.dim, "float32", axis=emb.axis, plan=emb.plan,
             saved_plan=saved_plan,
         ).data
-        host_slots[s] = jax.device_put(arr, state.host_slots[s].sharding)
+        # host-tier slot shards are stored FLAT (see HostEmbedding)
+        host_slots[s] = jax.device_put(
+            np.asarray(jax.device_get(arr)).reshape(-1),
+            state.host_slots[s].sharding,
+        )
     state.host_slots = host_slots
     state.step = jnp.asarray(meta["step"], jnp.int32)
     return state

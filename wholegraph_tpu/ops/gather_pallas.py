@@ -222,20 +222,32 @@ def gather_rows_pallas(
 # zeros) — the same observable-miss contract as the masked kernels below; use
 # window_coverage() to size the window or to detect misses.
 #
+# GROUPED SUB-TILES (group > 1): each grid step has a fixed ~0.6 us overhead
+# on v5e (measured, scripts/exp_window_gather*.py), which caps the ungrouped
+# kernel at ~180 GB/s for 1KB rows.  Grouping amortizes it: ONE window DMA of
+# (group-1)*tile + wsub rows serves ``group`` sub-tiles of ``tile`` ids each;
+# sub-tile g selects from the STATIC window slice [g*tile, g*tile + wsub)
+# with its own small one-hot matmul (static VMEM slices — no dynamic
+# addressing).  Sorted ids drift off the g*tile grid when local density < 1;
+# drift beyond the wsub - tile slack misses (zero row) and is repaired by
+# local_take_sorted's conditional pass.  Measured v5e, 1KB f32 rows, sorted
+# density 0.95: tile=128 wsub=192 group=8 => 224 GB/s (ungrouped peak 180,
+# single-row ring 127).
+#
 # Crossover vs the DMA ring (v5e, rows of R bytes, sorted-id density d =
-# rows-referenced / window-span):  ring = R / 8ns;  window = min(819 GB/s * d
-# (HBM fetch), MXU one-hot rate).  At D=256 f32 (HIGHEST ~ 33 TFLOP/s,
-# W=256: 131 KFLOP/row => 250 Mrow/s) the window path wins for d >~ 0.33;
-# at D=256 bf16 (W=512: 262 KFLOP bf16 => ~750 Mrow/s) it wins for d >~ 0.1
-# and peaks ~6x the ring.  choose_gather_kernel() encodes this.
+# rows-referenced / window-span):  ring = R / 8ns;  window = min(HBM fetch of
+# window/(tile*group) rows per useful row, MXU one-hot rate over wsub) with
+# measured efficiency factors.  choose_gather_kernel() encodes this; for
+# D=256 the window path wins for d >~ 0.45 (f32) / ~0.15 (bf16).
 
 
 _WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
 
 
 def _window_gather_kernel(
-    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, window, nt
+    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, wsub, group, nt
 ):
+    window = (group - 1) * tile + wsub
     t = pl.program_id(0)
 
     def copy(slot, tt):
@@ -258,73 +270,83 @@ def _window_gather_kernel(
 
     slot = t % 2
     copy(slot, t).wait()
-
-    ids = ids_ref[...]  # [tile, 1] int32
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+    w0 = w0s_ref[t]
     dtype = out_ref.dtype
-    onehot = (ids - w0s_ref[t] == col).astype(jnp.bfloat16)  # 0/1: exact
 
     def bdot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if dtype == jnp.bfloat16:
-        rows = bdot(onehot, win[slot])
-    else:
-        # bit-exact f32 select in 3 bf16 MXU passes: split each f32 into
-        # three disjoint-mantissa bf16 pieces (24 = 3x8 bits); the one-hot
-        # picks one element's pieces and their f32 sum reconstructs it
-        # exactly (cheaper than Precision.HIGHEST's 6 passes, same result
-        # because the one-hot operand needs no splitting).
-        w = win[slot]
-        hi = w.astype(jnp.bfloat16)
-        r = w - hi.astype(jnp.float32)
-        mid = r.astype(jnp.bfloat16)
-        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        rows = bdot(onehot, hi) + bdot(onehot, mid) + bdot(onehot, lo)
-    out_ref[...] = rows.astype(dtype)
+    # One small one-hot matmul per sub-tile over its STATIC window slice
+    # [g*tile, g*tile + wsub): static VMEM offsets, unrolled at trace time.
+    for g in range(group):
+        base = g * tile
+        ids_g = ids_ref[base:base + tile, :]  # [tile, 1] int32
+        wslice = win[slot, base:base + wsub, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, wsub), 1)
+        onehot = (ids_g - (w0 + base) == col).astype(jnp.bfloat16)  # 0/1: exact
+        if dtype == jnp.bfloat16:
+            rows = bdot(onehot, wslice)
+        else:
+            # bit-exact f32 select in 3 bf16 MXU passes: split each f32 into
+            # three disjoint-mantissa bf16 pieces (24 = 3x8 bits); the one-hot
+            # picks one element's pieces and their f32 sum reconstructs it
+            # exactly (cheaper than Precision.HIGHEST's 6 passes, same result
+            # because the one-hot operand needs no splitting).
+            hi = wslice.astype(jnp.bfloat16)
+            r = wslice - hi.astype(jnp.float32)
+            mid = r.astype(jnp.bfloat16)
+            lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            rows = bdot(onehot, hi) + bdot(onehot, mid) + bdot(onehot, lo)
+        out_ref[base:base + tile, :] = rows.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window"))
+@functools.partial(jax.jit, static_argnames=("tile", "window", "group"))
 def gather_rows_window(
-    table: Array, ids: Array, *, tile: int = 256, window: int = 1024
+    table: Array, ids: Array, *, tile: int = 256, window: int = 1024,
+    group: int = 1,
 ) -> Array:
     """out[i] = table[ids[i]] for SORTED ids via windowed multi-row DMAs.
 
-    Per tile of ``tile`` consecutive ids, one DMA fetches the ``window`` table
-    rows starting at that tile's first id (aligned down to the HBM sublane
-    tiling); rows are selected by a bit-exact MXU one-hot matmul.  Ids falling
-    outside their tile's window return ZERO rows (use :func:`window_coverage`
-    to check).  Requires ``window <= N``.
+    Per step of ``tile * group`` consecutive ids, one DMA fetches ``window``
+    table rows starting at the step's first id (aligned down to the HBM
+    sublane tiling); each of the ``group`` sub-tiles of ``tile`` ids selects
+    its rows from the static window slice ``[g*tile, g*tile + wsub)`` (where
+    ``wsub = window - (group-1)*tile``) by a bit-exact MXU one-hot matmul.
+    Ids falling outside their sub-tile's slice return ZERO rows (use
+    :func:`window_coverage` to check).  Requires ``window + _WALIGN <= N``.
 
-    Float dtypes only (f32 exact via Precision.HIGHEST; bf16 exact natively).
+    Float dtypes only (f32 exact via 3-pass bf16 split; bf16 exact natively).
     """
     B = ids.shape[0]
     N, D = table.shape
+    step = tile * group
+    wsub = window - (group - 1) * tile
     assert D % 128 == 0, D
     assert window % _WALIGN == 0, window
+    assert wsub >= tile, (window, tile, group)
     assert N >= window + _WALIGN, (N, window)
     assert table.dtype in (jnp.float32, jnp.bfloat16), table.dtype
     ids = ids.astype(jnp.int32)
-    pad = -B % tile
+    pad = -B % step
     if pad:
         ids = jnp.concatenate([ids, jnp.full((pad,), N, jnp.int32)])
     Bp = ids.shape[0]
-    nt = Bp // tile
+    nt = Bp // step
     nmax = (N - window) // _WALIGN * _WALIGN
-    w0s = jnp.clip(ids[::tile] // _WALIGN * _WALIGN, 0, nmax)
+    w0s = jnp.clip(ids[::step] // _WALIGN * _WALIGN, 0, nmax)
     out = pl.pallas_call(
         functools.partial(
-            _window_gather_kernel, tile=tile, window=window, nt=nt
+            _window_gather_kernel, tile=tile, wsub=wsub, group=group, nt=nt
         ),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w0s, whole
-            pl.BlockSpec((tile, 1), lambda t: (t, 0)),  # ids column, pipelined
+            pl.BlockSpec((step, 1), lambda t: (t, 0)),  # ids column, pipelined
             pl.BlockSpec(memory_space=pltpu.ANY),  # table, HBM
         ],
-        out_specs=pl.BlockSpec((tile, D), lambda t: (t, 0)),
+        out_specs=pl.BlockSpec((step, D), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, D), table.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, window, D), table.dtype),
@@ -335,51 +357,62 @@ def gather_rows_window(
     return out[:B]
 
 
+def _window_miss(padded_ids: Array, n_rows: int, tile, window, group):
+    """Per-id miss mask mirroring _window_gather_kernel's aligned+clamped
+    window starts and per-sub-tile slices exactly.  padded_ids length must be
+    a multiple of tile*group."""
+    step = tile * group
+    wsub = window - (group - 1) * tile
+    nmax = (n_rows - window) // _WALIGN * _WALIGN
+    steps = padded_ids.reshape(-1, step)
+    w0 = jnp.clip(steps[:, :1] // _WALIGN * _WALIGN, 0, nmax)
+    off = (
+        steps.reshape(-1, group, tile)
+        - w0[:, :, None]
+        - (jnp.arange(group, dtype=padded_ids.dtype) * tile)[None, :, None]
+    )
+    return ((off < 0) | (off >= wsub)).reshape(-1)
+
+
 def window_coverage(
-    ids: Array, n_rows: int, *, tile: int = 256, window: int = 1024
+    ids: Array, n_rows: int, *, tile: int = 256, window: int = 1024,
+    group: int = 1,
 ):
-    """For sorted ids, the fraction of ids that fall inside their tile's
-    window (rows gather_rows_window would return non-zero; mirrors the
+    """For sorted ids, the fraction of ids that fall inside their sub-tile's
+    window slice (rows gather_rows_window would return non-zero; mirrors the
     kernel's aligned+clamped window starts exactly) and the sorted-id density
     (distinct-rows / span) that drives the ring-vs-window crossover.
     Returns (covered_fraction, density), both device scalars."""
     B = ids.shape[0]
-    pad = -B % tile
+    step = tile * group
+    pad = -B % step
     idp = ids.astype(jnp.int32)
     if pad:
         idp = jnp.concatenate([idp, jnp.broadcast_to(idp[-1:], (pad,))])
-    tiles = idp.reshape(-1, tile)
-    nmax = (n_rows - window) // _WALIGN * _WALIGN
-    w0 = jnp.clip(tiles[:, :1] // _WALIGN * _WALIGN, 0, nmax)
-    off = tiles - w0
-    covered = ((off >= 0) & (off < window)).sum() - pad
+    covered = (~_window_miss(idp, n_rows, tile, window, group)).sum() - pad
     span = jnp.maximum(idp[-1] - idp[0] + 1, 1)
     distinct = 1 + (idp[1:] != idp[:-1]).sum()
     return covered / B, distinct / span
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window"))
+@functools.partial(jax.jit, static_argnames=("tile", "window", "group"))
 def _local_take_sorted_impl(
-    shard: Array, slots: Array, *, tile: int, window: int
+    shard: Array, slots: Array, *, tile: int, window: int, group: int
 ) -> Array:
     N, D = shard.shape
     B = slots.shape[0]
     slots = jnp.clip(slots.astype(jnp.int32), 0, N - 1)
-    out = gather_rows_window(shard, slots, tile=tile, window=window)
-    # repair pass: ids outside their tile's window re-fetched by the masked
-    # single-row DMA ring.  lax.cond => the repair kernel only RUNS on
-    # batches that actually have a miss, so well-windowed batches pay one
-    # any() reduce and nothing else.
-    pad = -B % tile
+    out = gather_rows_window(shard, slots, tile=tile, window=window, group=group)
+    # repair pass: ids outside their sub-tile's window slice re-fetched by
+    # the masked single-row DMA ring.  lax.cond => the repair kernel only
+    # RUNS on batches that actually have a miss, so well-windowed batches pay
+    # one any() reduce and nothing else.
+    step = tile * group
+    pad = -B % step
     padded = (
         jnp.concatenate([slots, jnp.full((pad,), N, jnp.int32)]) if pad else slots
     )
-    nmax = (N - window) // _WALIGN * _WALIGN
-    w0 = jnp.clip(
-        padded.reshape(-1, tile)[:, :1] // _WALIGN * _WALIGN, 0, nmax
-    )
-    off = padded.reshape(-1, tile) - w0
-    miss = ((off < 0) | (off >= window)).reshape(-1)[:B]
+    miss = _window_miss(padded, N, tile, window, group)[:B]
 
     def repair(o):
         fix = gather_rows_masked(shard, jnp.where(miss, slots, -1))
@@ -388,16 +421,20 @@ def _local_take_sorted_impl(
     return lax.cond(jnp.any(miss), repair, lambda o: o, out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _local_take_sorted_vjp(shard, slots, tile, window):
-    return _local_take_sorted_impl(shard, slots, tile=tile, window=window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _local_take_sorted_vjp(shard, slots, tile, window, group):
+    return _local_take_sorted_impl(
+        shard, slots, tile=tile, window=window, group=group
+    )
 
 
-def _lts_fwd(shard, slots, tile, window):
-    return _local_take_sorted_vjp(shard, slots, tile, window), (slots, shard)
+def _lts_fwd(shard, slots, tile, window, group):
+    return _local_take_sorted_vjp(shard, slots, tile, window, group), (
+        slots, shard,
+    )
 
 
-def _lts_bwd(tile, window, res, ct):
+def _lts_bwd(tile, window, group, res, ct):
     slots, shard = res
     clipped = jnp.clip(slots, 0, shard.shape[0] - 1)
     dshard = (
@@ -412,29 +449,48 @@ def _lts_bwd(tile, window, res, ct):
 _local_take_sorted_vjp.defvjp(_lts_fwd, _lts_bwd)
 
 
+def _window_plan(density: float, tile: int | None, group: int | None):
+    """(tile, window, group) for a target sorted-id density: pick the group
+    size the measured v5e sweep favours, then size wsub to cover the expected
+    drift of the LAST sub-tile (g*tile*(1/d - 1)) plus slack so repairs stay
+    rare."""
+    d = max(min(density, 1.0), 0.05)
+    if group is None:
+        group = 8 if d >= 0.85 else (4 if d >= 0.6 else (2 if d >= 0.35 else 1))
+    if tile is None:
+        tile = 128 if group > 1 else 256
+    span = tile / d + (group - 1) * tile * (1.0 / d - 1.0)
+    # one _WALIGN of slack beyond the expected drift (~4 sigma of the
+    # binomial id-position noise at these step sizes); rarer drifts repair.
+    wsub = -(-int(span) // _WALIGN) * _WALIGN + _WALIGN
+    return tile, (group - 1) * tile + wsub, group
+
+
 def local_take_sorted(
     shard: Array,
     slots: Array,
     *,
-    tile: int = 256,
+    tile: int | None = None,
     window: int | None = None,
+    group: int | None = None,
     density: float = 1.0,
 ) -> Array:
-    """Exact local gather for (mostly) SORTED slots: the windowed multi-row
-    DMA + MXU one-hot kernel for in-window rows, plus a masked single-row
-    repair pass (run only when a miss occurs) — always exact, fastest when
-    sorted-id density is high (dense deduped batches; see
+    """Exact local gather for (mostly) SORTED slots: the grouped windowed
+    multi-row DMA + MXU one-hot kernel for in-window rows, plus a masked
+    single-row repair pass (run only when a miss occurs) — always exact,
+    fastest when sorted-id density is high (dense deduped batches; see
     choose_gather_kernel).  ``density`` (expected distinct-rows/span) sizes
-    the default window so misses stay rare.
+    the default tile/window/group so misses stay rare.
 
     Falls back to the general path for dtypes/shapes the window kernel does
     not support.  Reference analog: the sorted/unique indices fast path of
     gather_op.cpp:118-120 + sort_unique_indices_func.cu.
     """
     N, D = shard.shape
+    dtile, dwindow, group = _window_plan(density, tile, group)
+    tile = dtile if tile is None else tile
     if window is None:
-        span = int(tile / max(min(density, 1.0), 0.05))
-        window = -(-span // _WALIGN) * _WALIGN + 2 * _WALIGN
+        window = dwindow
     usable = (
         jax.default_backend() == "tpu"
         and D % 128 == 0
@@ -442,28 +498,34 @@ def local_take_sorted(
         and slots.ndim == 1
         and slots.shape[0] >= 4096
         and N >= window + _WALIGN
+        and window - (group - 1) * tile >= tile
     )
     if not usable:
         return jnp.take(shard, slots, axis=0, mode="clip")
-    return _local_take_sorted_vjp(shard, slots, tile, window)
+    return _local_take_sorted_vjp(shard, slots, tile, window, group)
 
 
 def choose_gather_kernel(
     density: float, dtype, dim: int, *, desc_ns: float = 8.0, hbm_gbps: float = 819.0
 ) -> str:
-    """Crossover heuristic: 'window' when the windowed multi-row-DMA gather
-    out-runs the descriptor-bound single-row ring for sorted ids of the given
-    density, else 'ring'.  Pure host math — callers probe density once per
-    batch structure (cf. the dedup heuristic in ops/gather.py)."""
+    """Crossover heuristic: 'window' when the grouped windowed multi-row-DMA
+    gather out-runs the descriptor-bound single-row ring for sorted ids of
+    the given density, else 'ring'.  Pure host math — callers probe density
+    once per batch structure (cf. the dedup heuristic in ops/gather.py).
+
+    Efficiency factors are calibrated on v5e: the measured grouped-window
+    rate (224 GB/s at d=0.95, 1KB f32 rows) is ~0.35 of the naive MXU bound
+    (small-M matmuls + one-hot materialisation + 3x f32 splitting overlap
+    imperfectly) and the window fetch achieves ~0.85 of peak HBM."""
     rowbytes = dim * jnp.dtype(dtype).itemsize
     ring_rows_s = 1e9 / desc_ns  # one row per descriptor
-    tile = 256
-    d = max(min(density, 1.0), 0.05)
-    window = -(-int(tile / d) // _WALIGN) * _WALIGN + 2 * _WALIGN
-    fetch_rows_s = hbm_gbps * 1e9 / (window / tile * rowbytes)
-    flops_per_row = 2 * window * dim
-    mxu = 197e12 / 6 if jnp.dtype(dtype) == jnp.float32 else 197e12
-    window_rows_s = min(fetch_rows_s, mxu / flops_per_row)
+    tile, window, group = _window_plan(density, None, None)
+    wsub = window - (group - 1) * tile
+    fetch_ratio = window / (tile * group)  # fetched rows per useful row
+    fetch_rows_s = 0.85 * hbm_gbps * 1e9 / (fetch_ratio * rowbytes)
+    passes = 3 if jnp.dtype(dtype) == jnp.float32 else 1
+    flops_per_row = 2 * wsub * dim * passes
+    window_rows_s = min(fetch_rows_s, 0.35 * 197e12 / flops_per_row)
     return "window" if window_rows_s > 1.15 * ring_rows_s else "ring"
 
 
@@ -477,6 +539,20 @@ def choose_gather_kernel(
 # pltpu.MemorySpace.HOST.  Slots < 0 are SKIPPED (no DMA issued, output row
 # is garbage — callers mask), so host-link traffic is proportional to the
 # number of real fetches, not the padded buffer size.
+#
+# HOST-SPACE MOSAIC CONSTRAINTS (measured on v5e, scripts/exp_host_dma*.py):
+# host memrefs are only usable FLAT (1-D); n-D host memrefs get the (8,128)
+# tiling whose 512 B contiguous chunks trip an LLO 4 KB-granularity check
+# ("multiplier_in_bytes % word_size"), and 1-D host memrefs are tiled in
+# 4 KB pages (tiled<(1024)> for f32) with slices required to be
+# tile-aligned.  So ALL host DMAs here move whole 4 KB pages at page-aligned
+# offsets of a flat memref:
+#   * rowbytes % 4096 == 0   -> a row IS k pages: direct row DMA.
+#   * 4096 % rowbytes == 0   -> fetch the enclosing page, select the row on
+#     device (PCIe amplification = rows_per_page); writes do a
+#     fetch-merge-write page RMW with per-batch page dedup.
+#   * otherwise (non-power-of-two rowbytes) the host tier is unsupported —
+#     callers pad D (HostEmbedding raises a clear error).
 
 
 def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block, n_inflight):
@@ -560,27 +636,253 @@ def _pad_ids(ids: Array, id_block: int) -> Array:
     return ids
 
 
+_HOST_PAGE = 4096  # bytes; Mosaic host-memref tile (see comment block above)
+
+
+def host_layout(dim: int, dtype) -> tuple:
+    """(chunk_elems, rows_per_page) for a host-located [N, dim] table, or
+    (0, 0) if the dtype/dim cannot be mapped onto 4 KB host pages (callers
+    must pad dim to a power-of-two row size)."""
+    isz = jnp.dtype(dtype).itemsize
+    rowbytes = dim * isz
+    if rowbytes % _HOST_PAGE == 0:
+        return dim, 1  # one DMA of k whole pages per row
+    if _HOST_PAGE % rowbytes == 0:
+        return _HOST_PAGE // isz, _HOST_PAGE // rowbytes
+    return 0, 0
+
+
+def _masked_ring(dma, ids_ref, id_block, n_inflight):
+    """Shared issue/drain loop: start dma(j) for ids >= 0, keeping at most
+    n_inflight outstanding."""
+
+    def issue(j, _):
+        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[j - n_inflight] >= 0))
+        def _wait():
+            dma(j - n_inflight).wait()
+
+        @pl.when(ids_ref[j] >= 0)
+        def _start():
+            dma(j).start()
+
+        return 0
+
+    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+
+    def drain(k, _):
+        j = id_block - n_inflight + k
+
+        @pl.when(jnp.logical_and(j >= 0, ids_ref[j] >= 0))
+        def _w():
+            dma(j).wait()
+
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _host_fetch_kernel(ids_ref, flat_ref, out_ref, sems, *, id_block, n_inflight, ce):
+    """Masked DMA ring fetching ``ce``-element page-aligned chunks
+    flat[ids[j]*ce : +ce] (HOST) into a flat device memref."""
+    base = pl.program_id(0) * id_block
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(ids_ref[j] * ce, ce)],
+            out_ref.at[pl.ds((base + j) * ce, ce)],
+            sems.at[j % n_inflight],
+        )
+
+    _masked_ring(dma, ids_ref, id_block, n_inflight)
+
+
+def _host_put_kernel(
+    ids_ref, chunks_ref, flat_in_ref, out_ref, sems, *, id_block, n_inflight, ce
+):
+    """Masked DMA ring writing chunks[j] back to flat[ids[j]*ce : +ce]
+    (HOST, aliased in/out)."""
+    del flat_in_ref
+    base = pl.program_id(0) * id_block
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            chunks_ref.at[pl.ds((base + j) * ce, ce)],
+            out_ref.at[pl.ds(ids_ref[j] * ce, ce)],
+            sems.at[j % n_inflight],
+        )
+
+    _masked_ring(dma, ids_ref, id_block, n_inflight)
+
+
+def _host_fetch_chunks(
+    flat: Array, ids: Array, ce: int, id_block: int, n_inflight: int
+) -> Array:
+    """[len(ids) * ce] flat fetch of chunks flat[ids[i]*ce : +ce] (ids < 0
+    skipped -> garbage chunk).  flat lives in HOST space."""
+    Bp = ids.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _host_fetch_kernel, id_block=id_block, n_inflight=n_inflight, ce=ce
+        ),
+        grid=(Bp // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST),
+        ],
+        # out_shape MUST carry an explicit HBM space: with a plain
+        # ShapeDtypeStruct the XLA-level custom call inherits the HOST space
+        # from the pinned-host operand, and every downstream consumer then
+        # needs a host->vmem fusion DMA ("Unimplemented DMA from host to
+        # vmem" on v5e).  MemoryRef out_shape pins the result to HBM.
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=pltpu.MemorySpace.HBM((Bp * ce,), flat.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, flat)
+
+
+def _host_put_chunks(
+    flat: Array, ids: Array, chunks: Array, ce: int, id_block: int, n_inflight: int
+) -> Array:
+    """flat[ids[i]*ce : +ce] = chunks[i*ce : +ce] for ids >= 0; the host
+    buffer is donated/aliased.  Duplicate non-negative ids are a data race —
+    callers dedup."""
+    Bp = ids.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _host_put_kernel, id_block=id_block, n_inflight=n_inflight, ce=ce
+        ),
+        grid=(Bp // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # not VMEM (host DMA)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST),
+        ],
+        # plain ShapeDtypeStruct (NOT a HOST MemoryRef): the input-output
+        # alias with the donated pinned-host buffer already carries the host
+        # space; an explicit HOST annotation instead trips XLA's "returned
+        # from the entry computation but the layout for this output is not
+        # set to host memory" check
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0},
+    )(ids, chunks, flat)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "id_block", "n_inflight"))
+def host_gather_rows(
+    flat: Array,
+    slots: Array,
+    *,
+    dim: int,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+) -> Array:
+    """out[i] = flat-host-table row ``slots[i]`` (row r = flat[r*dim:+dim];
+    slots < 0 -> garbage row, mask downstream).
+
+    ``flat`` MUST be a flat pinned-host array — XLA cannot reshape
+    host-space buffers inside a program ("bitcast changes dimensionality"),
+    so host tables are stored flat by contract (HostEmbedding does).  Rows
+    are moved as 4 KB pages (host_layout): whole-page rows DMA directly,
+    sub-page rows fetch the enclosing page and select on device."""
+    ce, rpp = host_layout(dim, flat.dtype)
+    assert ce, (dim, flat.dtype)
+    B = slots.shape[0]
+    slots = _pad_ids(slots.astype(jnp.int32), id_block)
+    Bp = slots.shape[0]
+    if rpp == 1:
+        out = _host_fetch_chunks(flat, slots, ce, id_block, n_inflight)
+        return out.reshape(Bp, dim)[:B]
+    pages = jnp.where(slots >= 0, slots // rpp, -1)
+    out = _host_fetch_chunks(flat, pages, ce, id_block, n_inflight)
+    out = out.reshape(Bp, rpp, dim)
+    r = jnp.where(slots >= 0, slots % rpp, 0)
+    return jnp.take_along_axis(out, r[:, None, None], axis=1)[:, 0][:B]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("id_block", "n_inflight", "host_table")
+    jax.jit,
+    static_argnames=("dim", "id_block", "n_inflight"),
+    donate_argnums=(0,),
 )
+def host_scatter_rows(
+    flat: Array,
+    slots: Array,
+    rows: Array,
+    *,
+    dim: int,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+) -> Array:
+    """flat-host-table row ``slots[i]`` = rows[i] (slots < 0 skipped); the
+    flat pinned-host buffer is donated and updated in place.
+
+    Sub-page rows go through a page fetch-merge-write RMW with per-batch
+    page dedup, so the non-negative slots must be UNIQUE (duplicates within
+    one page would race; the embedding paths dedup before applying)."""
+    ce, rpp = host_layout(dim, flat.dtype)
+    assert ce, (dim, flat.dtype)
+    B = slots.shape[0]
+    assert rows.shape == (B, dim), (rows.shape, B, dim)
+    slots = _pad_ids(slots.astype(jnp.int32), id_block)
+    Bp = slots.shape[0]
+    if Bp != B:
+        rows = jnp.concatenate([rows, jnp.zeros((Bp - B, dim), rows.dtype)])
+    if rpp == 1:
+        return _host_put_chunks(
+            flat, slots, rows.reshape(-1).astype(flat.dtype), ce, id_block, n_inflight
+        )
+    valid = slots >= 0
+    pg = jnp.where(valid, slots // rpp, jnp.int32(2**31 - 1))
+    order = jnp.argsort(pg)  # invalid slots sort last
+    pg_s = pg[order]
+    r_s = jnp.where(valid[order], slots[order] % rpp, 0)
+    rows_s = rows[order].astype(flat.dtype)
+    valid_s = valid[order]
+    first = valid_s & jnp.concatenate(
+        [jnp.ones((1,), bool), pg_s[1:] != pg_s[:-1]]
+    )
+    seg = jnp.cumsum(first) - 1  # position -> dedup-page index
+    fetch_ids = jnp.where(first, pg_s, -1)
+    old = _host_fetch_chunks(flat, fetch_ids, ce, id_block, n_inflight)
+    old = old.reshape(Bp, rpp, dim)
+    # merge every written row of a page into its first occurrence's copy
+    tgt = jnp.where(valid_s, seg * rpp + r_s, Bp * rpp)
+    written = (
+        jnp.zeros((Bp * rpp, dim), flat.dtype).at[tgt].set(rows_s, mode="drop")
+    )
+    wmask = jnp.zeros((Bp * rpp,), bool).at[tgt].set(valid_s, mode="drop")
+    merged = jnp.where(
+        wmask.reshape(Bp, rpp)[seg][:, :, None],
+        written.reshape(Bp, rpp, dim)[seg],
+        old,
+    )
+    return _host_put_chunks(
+        flat, fetch_ids, merged.reshape(-1), ce, id_block, n_inflight
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
 def gather_rows_masked(
     table: Array,
     slots: Array,
     *,
     id_block: int = 1024,
     n_inflight: int = 128,
-    host_table: bool = False,
 ) -> Array:
     """out[i] = table[slots[i]] for slots >= 0 (GARBAGE rows where slot < 0 —
-    mask downstream).  ``host_table=True`` reads the table from
-    pltpu.MemorySpace.HOST (pinned host memory over PCIe) — the
-    device_cached_host cold-fetch path."""
+    mask downstream).  HBM tables only; the pinned-host
+    (device_cached_host cold-fetch) analog is :func:`host_gather_rows` on a
+    FLAT host buffer (host memrefs cannot be reshaped in-program)."""
     B = slots.shape[0]
     N, D = table.shape
     assert D % 128 == 0, D
     slots = _pad_ids(slots.astype(jnp.int32), id_block)
     Bp = slots.shape[0]
-    table_space = pltpu.MemorySpace.HOST if host_table else pltpu.ANY
+    table_space = pltpu.ANY
     out3 = pl.pallas_call(
         functools.partial(
             _masked_gather_kernel, id_block=id_block, n_inflight=n_inflight
@@ -600,7 +902,7 @@ def gather_rows_masked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("id_block", "n_inflight", "host_table"),
+    static_argnames=("id_block", "n_inflight"),
     donate_argnums=(0,),
 )
 def scatter_rows_masked(
@@ -610,11 +912,10 @@ def scatter_rows_masked(
     *,
     id_block: int = 1024,
     n_inflight: int = 128,
-    host_table: bool = False,
 ) -> Array:
     """table[slots[i]] = rows[i] for slots >= 0 (slot < 0 skipped); the table
-    buffer is donated and updated in place.  ``host_table=True`` writes back
-    to pinned host memory (the trainable host-tier writeback)."""
+    buffer is donated and updated in place.  HBM tables only; the pinned-host
+    writeback analog is :func:`host_scatter_rows` on a FLAT host buffer."""
     B = slots.shape[0]
     N, D = table.shape
     assert D % 128 == 0 and rows.shape == (B, D)
@@ -622,7 +923,7 @@ def scatter_rows_masked(
     Bp = slots.shape[0]
     if Bp != B:
         rows = jnp.concatenate([rows, jnp.zeros((Bp - B, D), rows.dtype)])
-    table_space = pltpu.MemorySpace.HOST if host_table else pltpu.ANY
+    table_space = pltpu.ANY
     out3 = pl.pallas_call(
         functools.partial(
             _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight

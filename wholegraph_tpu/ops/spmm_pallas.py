@@ -132,11 +132,14 @@ def fused_padded_sum(x: Array, nbr_idx: Array, mask: Array) -> Array:
 
 
 def _fps_fwd(x, nbr_idx, mask):
-    return _fused_sum_fwd_padded(x, nbr_idx, mask), (x.shape, x.dtype, nbr_idx, mask)
+    # NB: residuals must be JAX types (no dtype objects) — the out/ct dtype
+    # equals x's dtype (fwd casts), so the bwd derives it from ct.
+    return _fused_sum_fwd_padded(x, nbr_idx, mask), (x.shape, nbr_idx, mask)
 
 
 def _fps_bwd(res, ct):
-    (N, D), dtype, nbr_idx, mask = res
+    (N, D), nbr_idx, mask = res
+    dtype = ct.dtype
     B, K = nbr_idx.shape
     flat = jnp.where(mask, nbr_idx, N).reshape(-1)
     ct_edges = jnp.broadcast_to(ct[:, None, :], (B, K, D)).reshape(B * K, D)
