@@ -109,7 +109,10 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         out = local_take_sorted(tab, ids, density=batch / span)
         return out[0, 0]
 
-    dt = measure_chain(step, iters, table)
+    # median of 3 chains: measure_chain differences two host fetches, so a
+    # single RTT spike through the tunnel can bias one sample either way
+    dts = sorted(measure_chain(step, iters, table) for _ in range(3))
+    dt = dts[1]
     return batch * dim * 4 / dt / 1e9, dt
 
 

@@ -301,11 +301,17 @@ def test_gather_rows_window_grouped_bitexact():
     N, D, B = 200_000, 256, 8192
     rng = np.random.RandomState(11)
     for dtype, density in ((jnp.float32, 0.93), (jnp.bfloat16, 1.0)):
-        table = jax.jit(
-            lambda: (jax.random.normal(jax.random.PRNGKey(8), (N, D)) * 50).astype(
-                dtype
-            )
-        )()
+        base = (
+            np.asarray(jax.random.normal(jax.random.PRNGKey(8), (N, D))) * 50
+        ).astype(np.float32)
+        if dtype == jnp.float32:
+            # the f32 select is a bitwise byte-plane copy — every pattern
+            # must survive, including non-finite and denormal payloads
+            base[::97, 0] = np.nan
+            base[::101, 1] = np.inf
+            base[::103, 2] = -0.0
+            base[::107, 3] = np.float32(1e-42)
+        table = jnp.asarray(base, dtype=dtype)
         span = int(B / density)
         ids = np.sort(5_000 + rng.choice(span, B, replace=False)).astype(np.int32)
         idsj = jnp.asarray(ids)
@@ -315,14 +321,20 @@ def test_gather_rows_window_grouped_bitexact():
         ref = jnp.take(table, idsj, axis=0)
         outn, refn = np.asarray(out), np.asarray(ref)
         # covered mask mirrors the kernel: per step of tile*group ids,
-        # sub-tile g selects from [w0 + g*tile, w0 + g*tile + wsub)
+        # sub-tile g selects from its dynamic slice [w0 + s_g, w0 + s_g +
+        # wsub) where s_g = clip(align32(first_id_g - w0), 0, window - wsub)
         step = tile * group
         w0 = np.clip((ids.reshape(-1, step)[:, :1] // 32) * 32, 0,
                      (N - window) // 32 * 32)
-        off = ids.reshape(-1, group, tile) - w0[:, :, None] \
-            - (np.arange(group) * tile)[None, :, None]
+        sub = ids.reshape(-1, group, tile)
+        s_g = np.clip((sub[:, :, 0] - w0) // 32 * 32, 0, window - wsub)
+        off = sub - (w0 + s_g)[:, :, None]
         covered = ((off >= 0) & (off < wsub)).reshape(-1)
-        np.testing.assert_array_equal(outn[covered], refn[covered])
+        # bitwise comparison: NaN != NaN under array_equal, but the select
+        # must preserve the exact bits
+        np.testing.assert_array_equal(
+            outn[covered].view(np.uint8), refn[covered].view(np.uint8)
+        )
         assert (outn[~covered] == 0).all()
         cov, _ = window_coverage(idsj, N, tile=tile, window=window, group=group)
         np.testing.assert_allclose(float(cov), covered.mean(), atol=1e-6)

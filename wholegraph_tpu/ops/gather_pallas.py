@@ -211,12 +211,11 @@ def gather_rows_pallas(
 #
 # Exactness: a one-hot matmul is a bit-exact row copy provided no operand is
 # rounded.  bf16 tables: one-hot is exactly representable, accumulation in
-# f32 adds exactly one nonzero term => exact.  f32 tables: MXU multiplies via
-# bf16 multi-pass; Precision.HIGHEST splits each f32 into >=3 disjoint bf16
-# mantissa pieces, each multiplied by exactly 1.0 and summed in f32 — the
-# pieces are disjoint bit-ranges of the 24-bit mantissa, so the sum
-# reconstructs the original f32 exactly.  (Verified bit-exact on hardware in
-# tests/test_pallas_tpu.py.)
+# f32 adds exactly one nonzero term => exact.  f32 tables: the kernel
+# selects the 4 BYTE planes of the bitcast window with an int8 one-hot on
+# the MXU's s8xs8->s32 path and reassembles the bits — no float arithmetic
+# touches the payload, so every bit pattern (NaN/Inf/-0/denormal) survives.
+# (Verified bit-exact on hardware in tests/test_pallas_tpu.py.)
 #
 # Ids outside a tile's window produce ZERO rows (the one-hot row is all
 # zeros) — the same observable-miss contract as the masked kernels below; use
@@ -225,14 +224,18 @@ def gather_rows_pallas(
 # GROUPED SUB-TILES (group > 1): each grid step has a fixed ~0.6 us overhead
 # on v5e (measured, scripts/exp_window_gather*.py), which caps the ungrouped
 # kernel at ~180 GB/s for 1KB rows.  Grouping amortizes it: ONE window DMA of
-# (group-1)*tile + wsub rows serves ``group`` sub-tiles of ``tile`` ids each;
-# sub-tile g selects from the STATIC window slice [g*tile, g*tile + wsub)
-# with its own small one-hot matmul (static VMEM slices — no dynamic
-# addressing).  Sorted ids drift off the g*tile grid when local density < 1;
-# drift beyond the wsub - tile slack misses (zero row) and is repaired by
-# local_take_sorted's conditional pass.  Measured v5e, 1KB f32 rows, sorted
-# density 0.95: tile=128 wsub=192 group=8 => 224 GB/s (ungrouped peak 180,
-# single-row ring 127).
+# ``window`` rows serves ``group`` sub-tiles of ``tile`` ids each; sub-tile g
+# selects from its own DYNAMIC window slice [s_g, s_g + wsub), where s_g is
+# the sub-tile's first id relative to the window start (computed on host,
+# aligned down to _WALIGN, clamped to window - wsub; a dynamic VMEM offset).
+# Per-sub-tile starts keep wsub at ~tile/density at ANY density — a static
+# g*tile grid would need wsub to absorb the CUMULATIVE drift
+# group*tile*(1/d - 1) and goes MXU-bound as density drops (measured 91 GB/s
+# at d=0.82 static vs 161 dynamic, scripts/exp_window_gather4.py).  Ids
+# drifting past their sub-tile's wsub slack miss (zero row) and are repaired
+# by local_take_sorted's conditional pass.  Measured v5e, 1KB f32 rows,
+# B=512K sorted: d=0.95 => 236 GB/s, d=0.82 => 161 GB/s (tile=128 wsub=224
+# group=8; ungrouped peak 180 at d~1, single-row ring 127).
 #
 # Crossover vs the DMA ring (v5e, rows of R bytes, sorted-id density d =
 # rows-referenced / window-span):  ring = R / 8ns;  window = min(HBM fetch of
@@ -245,9 +248,9 @@ _WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
 
 
 def _window_gather_kernel(
-    w0s_ref, ids_ref, table_ref, out_ref, win, sems, *, tile, wsub, group, nt
+    w0s_ref, starts_ref, ids_ref, table_ref, out_ref, win, sems,
+    *, tile, wsub, group, window, nt,
 ):
-    window = (group - 1) * tile + wsub
     t = pl.program_id(0)
 
     def copy(slot, tt):
@@ -278,42 +281,74 @@ def _window_gather_kernel(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    # One small one-hot matmul per sub-tile over its STATIC window slice
-    # [g*tile, g*tile + wsub): static VMEM offsets, unrolled at trace time.
+    def idot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    # One small one-hot matmul per sub-tile over its DYNAMIC window slice
+    # [s_g, s_g + wsub) — s_g precomputed on host (aligned + clamped), read
+    # from SMEM; the group loop is unrolled at trace time.
     for g in range(group):
         base = g * tile
+        s_g = pl.multiple_of(starts_ref[t * group + g], _WALIGN)
         ids_g = ids_ref[base:base + tile, :]  # [tile, 1] int32
-        wslice = win[slot, base:base + wsub, :]
+        wslice = win[slot, pl.ds(s_g, wsub), :]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, wsub), 1)
-        onehot = (ids_g - (w0 + base) == col).astype(jnp.bfloat16)  # 0/1: exact
+        match = ids_g - (w0 + s_g) == col
         if dtype == jnp.bfloat16:
-            rows = bdot(onehot, wslice)
+            # one-hot is exactly representable in bf16 and the f32
+            # accumulator adds exactly one nonzero term => bit-exact copy
+            rows = bdot(match.astype(jnp.bfloat16), wslice)
+            out_ref[base:base + tile, :] = rows.astype(dtype)
         else:
-            # bit-exact f32 select in 3 bf16 MXU passes: split each f32 into
-            # three disjoint-mantissa bf16 pieces (24 = 3x8 bits); the one-hot
-            # picks one element's pieces and their f32 sum reconstructs it
-            # exactly (cheaper than Precision.HIGHEST's 6 passes, same result
-            # because the one-hot operand needs no splitting).
-            hi = wslice.astype(jnp.bfloat16)
-            r = wslice - hi.astype(jnp.float32)
-            mid = r.astype(jnp.bfloat16)
-            lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            rows = bdot(onehot, hi) + bdot(onehot, mid) + bdot(onehot, lo)
-        out_ref[base:base + tile, :] = rows.astype(dtype)
+            # bit-exact f32 select via the int8 MXU (s8xs8->s32 runs at 2x
+            # the bf16 rate on v5e): select each of the 4 BYTE planes of the
+            # bitcast window with an int8 one-hot and reassemble the bits.
+            # Planes are biased by -128 to fit int8; hit rows add the bias
+            # back, miss rows stay all-zero (0.0f), preserving the zero-row
+            # miss contract.  Measured 208 GB/s vs 159 for the 3-pass bf16
+            # mantissa split at d=0.8 (scripts/exp_int8_select.py); exact
+            # for every bit pattern including NaN/Inf/-0 since no float
+            # arithmetic touches the payload.
+            oh8 = match.astype(jnp.int8)
+            hit = match.any(axis=1, keepdims=True)  # [tile, 1]
+            w_i32 = jax.lax.bitcast_convert_type(wslice, jnp.int32)
+            acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.int32)
+            for k in range(4):
+                plane = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+                sel = idot(oh8, plane) + jnp.where(hit, 128, 0)
+                acc = acc | ((sel & 0xFF) << (8 * k))
+            out_ref[base:base + tile, :] = jax.lax.bitcast_convert_type(
+                acc, jnp.float32
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "group"))
+def _window_starts(padded_ids: Array, n_rows: int, tile, window, group, wsub):
+    """(w0s [nt], starts [nt*group]) — the per-step window origins and
+    per-sub-tile dynamic slice starts, aligned down to _WALIGN and clamped
+    exactly as the kernel requires."""
+    step = tile * group
+    nmax = (n_rows - window) // _WALIGN * _WALIGN
+    w0s = jnp.clip(padded_ids[::step] // _WALIGN * _WALIGN, 0, nmax)
+    firsts = padded_ids[::tile].reshape(-1, group)
+    starts = (firsts - w0s[:, None]) // _WALIGN * _WALIGN
+    starts = jnp.clip(starts, 0, window - wsub)
+    return w0s.astype(jnp.int32), starts.reshape(-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "group", "wsub"))
 def gather_rows_window(
     table: Array, ids: Array, *, tile: int = 256, window: int = 1024,
-    group: int = 1,
+    group: int = 1, wsub: int | None = None,
 ) -> Array:
     """out[i] = table[ids[i]] for SORTED ids via windowed multi-row DMAs.
 
     Per step of ``tile * group`` consecutive ids, one DMA fetches ``window``
     table rows starting at the step's first id (aligned down to the HBM
     sublane tiling); each of the ``group`` sub-tiles of ``tile`` ids selects
-    its rows from the static window slice ``[g*tile, g*tile + wsub)`` (where
-    ``wsub = window - (group-1)*tile``) by a bit-exact MXU one-hot matmul.
+    its rows from its own dynamic window slice ``[s_g, s_g + wsub)`` — s_g
+    anchored at the sub-tile's first id — by a bit-exact MXU one-hot matmul.
     Ids falling outside their sub-tile's slice return ZERO rows (use
     :func:`window_coverage` to check).  Requires ``window + _WALIGN <= N``.
 
@@ -322,10 +357,11 @@ def gather_rows_window(
     B = ids.shape[0]
     N, D = table.shape
     step = tile * group
-    wsub = window - (group - 1) * tile
+    if wsub is None:
+        wsub = window - (group - 1) * tile
     assert D % 128 == 0, D
-    assert window % _WALIGN == 0, window
-    assert wsub >= tile, (window, tile, group)
+    assert window % _WALIGN == 0 and wsub % _WALIGN == 0, (window, wsub)
+    assert tile <= wsub <= window, (window, tile, group, wsub)
     assert N >= window + _WALIGN, (N, window)
     assert table.dtype in (jnp.float32, jnp.bfloat16), table.dtype
     ids = ids.astype(jnp.int32)
@@ -334,15 +370,16 @@ def gather_rows_window(
         ids = jnp.concatenate([ids, jnp.full((pad,), N, jnp.int32)])
     Bp = ids.shape[0]
     nt = Bp // step
-    nmax = (N - window) // _WALIGN * _WALIGN
-    w0s = jnp.clip(ids[::step] // _WALIGN * _WALIGN, 0, nmax)
+    w0s, starts = _window_starts(ids, N, tile, window, group, wsub)
     out = pl.pallas_call(
         functools.partial(
-            _window_gather_kernel, tile=tile, wsub=wsub, group=group, nt=nt
+            _window_gather_kernel, tile=tile, wsub=wsub, group=group,
+            window=window, nt=nt,
         ),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w0s, whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts, whole
             pl.BlockSpec((step, 1), lambda t: (t, 0)),  # ids column, pipelined
             pl.BlockSpec(memory_space=pltpu.ANY),  # table, HBM
         ],
@@ -353,30 +390,27 @@ def gather_rows_window(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(w0s, ids.reshape(Bp, 1), table)
+    )(w0s, starts, ids.reshape(Bp, 1), table)
     return out[:B]
 
 
-def _window_miss(padded_ids: Array, n_rows: int, tile, window, group):
+def _window_miss(padded_ids: Array, n_rows: int, tile, window, group, wsub=None):
     """Per-id miss mask mirroring _window_gather_kernel's aligned+clamped
-    window starts and per-sub-tile slices exactly.  padded_ids length must be
-    a multiple of tile*group."""
-    step = tile * group
-    wsub = window - (group - 1) * tile
-    nmax = (n_rows - window) // _WALIGN * _WALIGN
-    steps = padded_ids.reshape(-1, step)
-    w0 = jnp.clip(steps[:, :1] // _WALIGN * _WALIGN, 0, nmax)
-    off = (
-        steps.reshape(-1, group, tile)
-        - w0[:, :, None]
-        - (jnp.arange(group, dtype=padded_ids.dtype) * tile)[None, :, None]
-    )
+    window starts and dynamic per-sub-tile slices exactly.  padded_ids length
+    must be a multiple of tile*group."""
+    if wsub is None:
+        wsub = window - (group - 1) * tile
+    ids32 = padded_ids.astype(jnp.int32)
+    w0s, starts = _window_starts(ids32, n_rows, tile, window, group, wsub)
+    sub = ids32.reshape(-1, group, tile)
+    origin = w0s[:, None] + starts.reshape(-1, group)
+    off = sub - origin[:, :, None]
     return ((off < 0) | (off >= wsub)).reshape(-1)
 
 
 def window_coverage(
     ids: Array, n_rows: int, *, tile: int = 256, window: int = 1024,
-    group: int = 1,
+    group: int = 1, wsub: int | None = None,
 ):
     """For sorted ids, the fraction of ids that fall inside their sub-tile's
     window slice (rows gather_rows_window would return non-zero; mirrors the
@@ -389,52 +423,76 @@ def window_coverage(
     idp = ids.astype(jnp.int32)
     if pad:
         idp = jnp.concatenate([idp, jnp.broadcast_to(idp[-1:], (pad,))])
-    covered = (~_window_miss(idp, n_rows, tile, window, group)).sum() - pad
+    covered = (~_window_miss(idp, n_rows, tile, window, group, wsub)).sum() - pad
     span = jnp.maximum(idp[-1] - idp[0] + 1, 1)
     distinct = 1 + (idp[1:] != idp[:-1]).sum()
     return covered / B, distinct / span
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "group"))
+_REPAIR_CAP = 4096  # compacted-repair capacity (ids); beyond it, full repair
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "group", "wsub"))
 def _local_take_sorted_impl(
-    shard: Array, slots: Array, *, tile: int, window: int, group: int
+    shard: Array, slots: Array, *, tile: int, window: int, group: int, wsub: int
 ) -> Array:
     N, D = shard.shape
     B = slots.shape[0]
     slots = jnp.clip(slots.astype(jnp.int32), 0, N - 1)
-    out = gather_rows_window(shard, slots, tile=tile, window=window, group=group)
-    # repair pass: ids outside their sub-tile's window slice re-fetched by
-    # the masked single-row DMA ring.  lax.cond => the repair kernel only
-    # RUNS on batches that actually have a miss, so well-windowed batches pay
-    # one any() reduce and nothing else.
+    out = gather_rows_window(
+        shard, slots, tile=tile, window=window, group=group, wsub=wsub
+    )
+    # Repair ladder for ids outside their sub-tile's window slice; lax.cond
+    # => repair kernels only RUN on batches that actually miss, so
+    # well-windowed batches pay one reduce and nothing else.
+    #   few misses  -> compact them into a _REPAIR_CAP buffer, one small
+    #                  unmasked ring + scatter-merge (~8 ns/id over the CAP);
+    #   many misses -> full-batch unmasked ring (hits fetch row 0, merged
+    #                  away).  Unmasked both times: the masked ring's
+    #                  conditional DMAs cost ~50 ns/id whether they fire or
+    #                  not (measured, scripts/exp_lts_diag.py: 27 ms at
+    #                  B=512K vs ~4.5 ms unmasked), so issuing every DMA
+    #                  unconditionally is 5-6x cheaper than skipping.
     step = tile * group
     pad = -B % step
     padded = (
         jnp.concatenate([slots, jnp.full((pad,), N, jnp.int32)]) if pad else slots
     )
-    miss = _window_miss(padded, N, tile, window, group)[:B]
+    miss = _window_miss(padded, N, tile, window, group, wsub)[:B]
+    nmiss = miss.sum()
+    cap = min(_REPAIR_CAP, B // 1024 * 1024)
 
-    def repair(o):
-        fix = gather_rows_masked(shard, jnp.where(miss, slots, -1))
+    def small_repair(o):
+        pos = jnp.nonzero(miss, size=cap, fill_value=B)[0]
+        rep = jnp.where(pos < B, slots[jnp.minimum(pos, B - 1)], 0)
+        fix = gather_rows_pallas(shard, rep.astype(jnp.int32))
+        return o.at[pos].set(fix, mode="drop")
+
+    def full_repair(o):
+        rep = jnp.maximum(_pad_ids(jnp.where(miss, slots, 0), 1024), 0)
+        fix = gather_rows_pallas(shard, rep)[:B]
         return jnp.where(miss[:, None], fix, o)
 
-    return lax.cond(jnp.any(miss), repair, lambda o: o, out)
+    def repair(o):
+        return lax.cond(nmiss <= cap, small_repair, full_repair, o)
+
+    return lax.cond(nmiss > 0, repair, lambda o: o, out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _local_take_sorted_vjp(shard, slots, tile, window, group):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _local_take_sorted_vjp(shard, slots, tile, window, group, wsub):
     return _local_take_sorted_impl(
-        shard, slots, tile=tile, window=window, group=group
+        shard, slots, tile=tile, window=window, group=group, wsub=wsub
     )
 
 
-def _lts_fwd(shard, slots, tile, window, group):
-    return _local_take_sorted_vjp(shard, slots, tile, window, group), (
+def _lts_fwd(shard, slots, tile, window, group, wsub):
+    return _local_take_sorted_vjp(shard, slots, tile, window, group, wsub), (
         slots, shard,
     )
 
 
-def _lts_bwd(tile, window, group, res, ct):
+def _lts_bwd(tile, window, group, wsub, res, ct):
     slots, shard = res
     clipped = jnp.clip(slots, 0, shard.shape[0] - 1)
     dshard = (
@@ -449,21 +507,54 @@ def _lts_bwd(tile, window, group, res, ct):
 _local_take_sorted_vjp.defvjp(_lts_fwd, _lts_bwd)
 
 
-def _window_plan(density: float, tile: int | None, group: int | None):
-    """(tile, window, group) for a target sorted-id density: pick the group
-    size the measured v5e sweep favours, then size wsub to cover the expected
-    drift of the LAST sub-tile (g*tile*(1/d - 1)) plus slack so repairs stay
-    rare."""
+def _align_up(x: float) -> int:
+    return -(-int(x) // _WALIGN) * _WALIGN
+
+
+def _window_plan(
+    density: float, tile: int | None, group: int | None, dim: int = 256,
+    itemsize: int = 4,
+):
+    """(tile, window, group, wsub) for a target sorted-id density.  With
+    dynamic per-sub-tile starts, wsub only needs the WITHIN-sub-tile span
+    (~tile/d) plus slack, independent of group; the step window needs the
+    whole step span (~tile*group/d).  group=8/tile=128 is the measured v5e
+    sweet spot (scripts/exp_window_gather4.py); the window is capped so the
+    double-buffered VMEM scratch stays under ~8 MB, trading coverage (the
+    repair pass absorbs the tail) at very low density.
+
+    Slack sizing: the span of k sorted ids drawn at density d is
+    ~k/d +- sqrt(k(1-d))/d (negative-binomial).  wsub takes 5 sigma of
+    slack plus the worst-case _WALIGN-1 alignment loss of its aligned-down
+    start — there are thousands of sub-tiles per batch, so per-sub-tile
+    misses must be ~1e-6 events (wsub=192 at d=0.8 leaves 1 row of slack
+    and repairs EVERY batch; 224 leaves 33 and essentially never; 4 sigma
+    at d=0.5 still repaired most batches — measured, /tmp/exp_lts_v*.log).
+    The step window takes only 3 sigma + the MEAN alignment loss: the
+    compacted repair is cheap (~0.3 ms) for the rare overflowing step,
+    while window width costs fetch bandwidth on EVERY step (1376 measured
+    242 GB/s vs 1440's ~204 at d=0.8)."""
+    import math
+
     d = max(min(density, 1.0), 0.05)
-    if group is None:
-        group = 8 if d >= 0.85 else (4 if d >= 0.6 else (2 if d >= 0.35 else 1))
-    if tile is None:
-        tile = 128 if group > 1 else 256
-    span = tile / d + (group - 1) * tile * (1.0 / d - 1.0)
-    # one _WALIGN of slack beyond the expected drift (~4 sigma of the
-    # binomial id-position noise at these step sizes); rarer drifts repair.
-    wsub = -(-int(span) // _WALIGN) * _WALIGN + _WALIGN
-    return tile, (group - 1) * tile + wsub, group
+    tile = 128 if tile is None else tile
+    group = 8 if group is None else group
+
+    def sig(k):  # sigma of the span of k sorted ids at density d (neg-binom)
+        return math.sqrt(k * (1.0 - d)) / d
+
+    wsub = _align_up(tile / d + 5.0 * sig(tile) + (_WALIGN - 1))
+    step = tile * group
+    # window rounds up to a MULTIPLE OF 128: measured 2x cliff otherwise
+    # (win=1376 -> 4.9 ms vs win=1408 -> 2.85 ms at d=0.8, same batch —
+    # scripts/exp_bench_ab.py; the window slab DMA degrades off 128-row
+    # granularity)
+    window = max(int(step / d + 3.0 * sig(step) + _WALIGN // 2), wsub)
+    window = -(-window // 128) * 128
+    cap = max((8 << 20) // (2 * dim * itemsize) // 128 * 128, 128)
+    window = min(window, cap)
+    wsub = min(wsub, window)
+    return tile, window, group, wsub
 
 
 def local_take_sorted(
@@ -473,36 +564,49 @@ def local_take_sorted(
     tile: int | None = None,
     window: int | None = None,
     group: int | None = None,
+    wsub: int | None = None,
     density: float = 1.0,
 ) -> Array:
     """Exact local gather for (mostly) SORTED slots: the grouped windowed
-    multi-row DMA + MXU one-hot kernel for in-window rows, plus a masked
+    multi-row DMA + MXU one-hot kernel for in-window rows, plus a compacted
     single-row repair pass (run only when a miss occurs) — always exact,
     fastest when sorted-id density is high (dense deduped batches; see
     choose_gather_kernel).  ``density`` (expected distinct-rows/span) sizes
-    the default tile/window/group so misses stay rare.
+    the default tile/window/group/wsub so misses stay rare.
 
     Falls back to the general path for dtypes/shapes the window kernel does
     not support.  Reference analog: the sorted/unique indices fast path of
     gather_op.cpp:118-120 + sort_unique_indices_func.cu.
     """
     N, D = shard.shape
-    dtile, dwindow, group = _window_plan(density, tile, group)
+    auto = tile is None and window is None and group is None and wsub is None
+    dtile, dwindow, dgroup, dwsub = _window_plan(
+        density, tile, group, D, jnp.dtype(shard.dtype).itemsize
+    )
     tile = dtile if tile is None else tile
+    group = dgroup if group is None else group
     if window is None:
         window = dwindow
-    usable = (
+    if wsub is None:
+        wsub = max(tile, min(dwsub, window))
+    on_tpu = (
         jax.default_backend() == "tpu"
         and D % 128 == 0
         and shard.dtype in (jnp.float32, jnp.bfloat16)
         and slots.ndim == 1
         and slots.shape[0] >= 4096
-        and N >= window + _WALIGN
-        and window - (group - 1) * tile >= tile
     )
-    if not usable:
+    if not on_tpu:
         return jnp.take(shard, slots, axis=0, mode="clip")
-    return _local_take_sorted_vjp(shard, slots, tile, window, group)
+    if (auto and choose_gather_kernel(density, shard.dtype, D) == "ring") or not (
+        N >= window + _WALIGN and tile <= wsub <= window
+    ):
+        # low density (or tiny table): the descriptor-bound single-row ring
+        # beats fetching mostly-unused windows; still exact.
+        B = slots.shape[0]
+        ids = jnp.clip(_pad_ids(slots.astype(jnp.int32), 1024), 0, N - 1)
+        return gather_rows_pallas3(shard, ids).reshape(-1, D)[:B]
+    return _local_take_sorted_vjp(shard, slots, tile, window, group, wsub)
 
 
 def choose_gather_kernel(
@@ -513,19 +617,23 @@ def choose_gather_kernel(
     the given density, else 'ring'.  Pure host math — callers probe density
     once per batch structure (cf. the dedup heuristic in ops/gather.py).
 
-    Efficiency factors are calibrated on v5e: the measured grouped-window
-    rate (224 GB/s at d=0.95, 1KB f32 rows) is ~0.35 of the naive MXU bound
-    (small-M matmuls + one-hot materialisation + 3x f32 splitting overlap
-    imperfectly) and the window fetch achieves ~0.85 of peak HBM."""
-    rowbytes = dim * jnp.dtype(dtype).itemsize
+    Efficiency factors are calibrated against the measured v5e ladder
+    (d=0.95/0.8/0.6 f32 => 222/193/166 GB/s, /tmp/exp_lts_v3.log): the MXU
+    select achieves ~0.25 of the naive bound (weight-reload-bound small-M
+    matmuls: each sub-tile loads a fresh [wsub, dim] window slice), f32 on
+    the 394 Tops s8 path (4 byte planes), bf16 on the 197 Tflops bf16 path
+    (1 pass); the window fetch achieves ~0.85 of peak HBM."""
+    itemsize = jnp.dtype(dtype).itemsize
+    rowbytes = dim * itemsize
     ring_rows_s = 1e9 / desc_ns  # one row per descriptor
-    tile, window, group = _window_plan(density, None, None)
-    wsub = window - (group - 1) * tile
+    tile, window, group, wsub = _window_plan(density, None, None, dim, itemsize)
     fetch_ratio = window / (tile * group)  # fetched rows per useful row
     fetch_rows_s = 0.85 * hbm_gbps * 1e9 / (fetch_ratio * rowbytes)
-    passes = 3 if jnp.dtype(dtype) == jnp.float32 else 1
-    flops_per_row = 2 * wsub * dim * passes
-    window_rows_s = min(fetch_rows_s, 0.35 * 197e12 / flops_per_row)
+    if jnp.dtype(dtype) == jnp.float32:
+        mxu_rows_s = 0.25 * 394e12 / (2 * wsub * dim * 4)
+    else:
+        mxu_rows_s = 0.25 * 197e12 / (2 * wsub * dim)
+    window_rows_s = min(fetch_rows_s, mxu_rows_s)
     return "window" if window_rows_s > 1.15 * ring_rows_s else "ring"
 
 
