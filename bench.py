@@ -36,6 +36,13 @@ import jax.numpy as jnp
 from wholegraph_tpu.utils.perf import measure_chain
 
 
+def measure_median(step, iters, *args, runs=3):
+    """Median of ``runs`` measure_chain samples: a single RTT spike through
+    the remote tunnel can bias one differenced sample either way (observed
+    both 0.00 ms and >HBM-peak artifacts)."""
+    return sorted(measure_chain(step, iters, *args) for _ in range(runs))[runs // 2]
+
+
 HBM_GBPS = {
     "v5e": 819.0,
     "v5p": 2765.0,
@@ -79,7 +86,7 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         rows = wg.ops.gather(data, ids, plan=table.plan, mesh=mesh, axis=table.axis)
         return rows[0, 0]
 
-    dt = measure_chain(step, iters, table.data)
+    dt = measure_median(step, iters, table.data)
     return batch * dim * 4 / dt / 1e9, dt
 
 
@@ -109,16 +116,21 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         out = local_take_sorted(tab, ids, density=batch / span)
         return out[0, 0]
 
-    # median of 3 chains: measure_chain differences two host fetches, so a
-    # single RTT spike through the tunnel can bias one sample either way
-    dts = sorted(measure_chain(step, iters, table) for _ in range(3))
-    dt = dts[1]
+    dt = measure_median(step, iters, table)
     return batch * dim * 4 / dt / 1e9, dt
 
 
 def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     """Scatter bandwidth (the reference bench's scatter mode,
-    gather_scatter_bench.cu:381): random-row writes into the table."""
+    gather_scatter_bench.cu:381): random-row writes into the table.
+
+    The table is the fori_loop CARRY with the buffer donated at the jit
+    boundary, so the in-place pallas scatter updates one 4 GB buffer across
+    the whole chain — an un-carried table forces XLA to materialize two
+    table copies per iteration and OOMs a 16 GB chip."""
+    import functools
+    import time
+
     import wholegraph_tpu as wg
 
     mesh = wg.parallel.create_global_mesh()
@@ -126,25 +138,45 @@ def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     use_pallas = world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
     table = wg.ShardedTable.create(mesh, n_rows, dim)
     rows_mat = jax.jit(lambda: jnp.ones((batch, dim), jnp.float32))()
+    plan = table.plan
 
     if use_pallas:
-        from wholegraph_tpu.ops.gather_pallas import scatter_rows_pallas
+        # native [N, D//128, 128] layout as the loop carry: the [N, D]
+        # reshape is a true relayout XLA would re-run every iteration
+        from wholegraph_tpu.ops.gather_pallas import scatter_rows_pallas3
 
-        def step(i, data, rows):
+        rows_mat = rows_mat.reshape(batch, dim // 128, 128)
+        tab0 = table.data.reshape(n_rows, dim // 128, 128)
+
+        def one(i, tab, rows):
             ids = jax.random.randint(
                 jax.random.PRNGKey(i), (batch,), 0, n_rows, dtype=jnp.int32
             )
-            out = scatter_rows_pallas(data, ids, rows)
-            return out[0, 0] * 0.0
+            return scatter_rows_pallas3(tab, ids, rows)
     else:
-        plan = table.plan
+        tab0 = table.data
 
-        def step(i, data, rows):
+        def one(i, tab, rows):
             ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
-            out = wg.ops.scatter(data, ids, rows, plan=plan, mesh=mesh)
-            return out[0, 0] * 0.0
+            return wg.ops.scatter(tab, ids, rows, plan=plan, mesh=mesh)
 
-    dt = measure_chain(step, iters, table.data, rows_mat)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter_n(tab, rows, n):
+        return jax.lax.fori_loop(0, n, lambda i, t: one(i, t, rows), tab)
+
+    def timed(n, tab):
+        t0 = time.perf_counter()
+        tab = scatter_n(tab, rows_mat, n)
+        float(tab[(0,) * tab.ndim])  # force completion through the tunnel
+        return time.perf_counter() - t0, tab
+
+    tab = scatter_n(tab0, rows_mat, 1)  # compile + warm
+    samples = []
+    for _ in range(3):
+        base, tab = timed(1, tab)
+        full, tab = timed(1 + iters, tab)
+        samples.append(max((full - base) / iters, 1e-9))
+    dt = sorted(samples)[1]
     return batch * dim * 4 / dt / 1e9, dt
 
 
@@ -228,7 +260,7 @@ def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
         return res.neighbors[0, 0].astype(jnp.float32)
 
     args = (col, weights) if weighted else (col,)
-    dt = measure_chain(step, iters, *args)
+    dt = measure_median(step, iters, *args)
     return batch * K / dt, dt
 
 
@@ -245,7 +277,7 @@ def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
         return out[0, 0]
 
     x = jax.jit(lambda: jnp.ones((num_src, dim), jnp.float32))()
-    dt = measure_chain(step, iters, x)
+    dt = measure_median(step, iters, x)
     return batch * K / dt, dt
 
 
@@ -275,7 +307,7 @@ def bench_scaling(n_rows=500_000, dim=128, batch_per_dev=1 << 14, iters=6):
             rows = wg.ops.gather(data, ids, plan=table.plan, mesh=mesh)
             return rows[0, 0]
 
-        dt = measure_chain(step, iters, table.data)
+        dt = measure_median(step, iters, table.data)
         return B / dt
 
     devs = jax.devices()

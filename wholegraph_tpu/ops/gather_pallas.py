@@ -95,18 +95,25 @@ def _scatter_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"), donate_argnums=(0,))
-def scatter_rows_pallas(
-    table: Array, ids: Array, rows: Array, *, id_block: int = 1024, n_inflight: int = 256
+def scatter_rows_pallas3(
+    table3: Array, ids: Array, rows3: Array, *, id_block: int = 1024,
+    n_inflight: int = 256,
 ) -> Array:
-    """table[ids[i]] = rows[i] via pipelined row DMAs (duplicate ids: winner
-    unspecified, same caveat as the reference scatter).  The table buffer is
-    donated and updated in place."""
+    """Native-tile-layout scatter: table3[ids[i]] = rows3[i], both in the
+    kernel's ``[., D//128, 128]`` layout; the table3 buffer is donated and
+    updated in place and the SAME buffer shape is returned.
+
+    Use this form when the table is a LOOP CARRY (training/bench chains):
+    the [N, D] <-> [N, D//128, 128] reshape is a real relayout (different
+    XLA tilings, ~2x the scatter's own traffic per pass) that XLA hoists
+    for loop-invariant gather operands but must re-run every iteration for
+    a reshaped carry."""
     B = ids.shape[0]
-    N, D = table.shape
-    assert D % 128 == 0 and B % id_block == 0
-    assert rows.shape == (B, D)
+    N = table3.shape[0]
+    assert B % id_block == 0, (B, id_block)
+    assert rows3.shape[1:] == table3.shape[1:], (rows3.shape, table3.shape)
     ids = ids.astype(jnp.int32)
-    out3 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_scatter_kernel, id_block=id_block, n_inflight=n_inflight),
         grid=(B // id_block,),
         in_specs=[
@@ -115,11 +122,32 @@ def scatter_rows_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((N, D // 128, 128), table.dtype),
+        out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={2: 0},  # donated table buffer IS the output
-    )(ids, rows.reshape(B, D // 128, 128), table.reshape(N, D // 128, 128))
+    )(ids, rows3, table3)
+
+
+@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"), donate_argnums=(0,))
+def scatter_rows_pallas(
+    table: Array, ids: Array, rows: Array, *, id_block: int = 1024, n_inflight: int = 256
+) -> Array:
+    """table[ids[i]] = rows[i] via pipelined row DMAs (duplicate ids: winner
+    unspecified, same caveat as the reference scatter).  The table buffer is
+    donated and updated in place.  Flat [N, D] in/out; inside a loop with
+    the table as carry prefer :func:`scatter_rows_pallas3` (relayout cost)."""
+    B = ids.shape[0]
+    N, D = table.shape
+    assert D % 128 == 0 and B % id_block == 0
+    assert rows.shape == (B, D)
+    out3 = scatter_rows_pallas3(
+        table.reshape(N, D // 128, 128),
+        ids,
+        rows.reshape(B, D // 128, 128),
+        id_block=id_block,
+        n_inflight=n_inflight,
+    )
     return out3.reshape(N, D)
 
 

@@ -160,6 +160,110 @@ def _sample_positions_uniform(deg: Array, K: int, seed: int, centers: Array, hop
 # ---------------------------------------------------------------------------
 
 
+_NB = 4  # 128-lane weight blocks fetched per center per ladder iteration
+
+
+def _merge_topk(best_keys, best_pos, key, K: int, off_of_topi):
+    """Merge a [B, span] key chunk into the running (top-K keys, positions).
+
+    Positions are recovered ARITHMETICALLY from the top-k indices
+    (``off_of_topi(topi)`` for in-chunk winners, a K-wide take for carried
+    ones) — a span-wide ``take_along_axis`` costs ~15 ms at [64K, 542] on
+    v5e, ~as much as the top-k itself.  ``approx_max_k`` at
+    recall_target=1.0 is bit-exact (values AND indices, incl. -inf rows and
+    ties — verified on hardware, scripts/exp_topk.py) and lowers to the TPU
+    PartialReduce instead of a full sort."""
+    merged = jnp.concatenate([best_keys, key], axis=1)
+    topk, topi = lax.approx_max_k(
+        merged, K, recall_target=1.0, aggregate_to_topk=True
+    )
+    topi = topi.astype(jnp.int32)
+    carried = jnp.take_along_axis(best_pos, jnp.minimum(topi, K - 1), axis=1)
+    return topk, jnp.where(topi < K, carried, off_of_topi(topi))
+
+
+def _ladder_run(body, init, total_iters: int, needed: Array):
+    """Run ``body`` the smallest power-of-two number of iterations covering
+    the batch's actual need (lax.switch over precompiled levels); iterations
+    past a center's degree contribute only -inf keys, so every level is
+    bit-identical on the centers it covers."""
+    levels = []
+    c = 1
+    while c < total_iters:
+        levels.append(c)
+        c *= 2
+    levels.append(total_iters)
+    if len(levels) == 1:
+        return lax.fori_loop(0, total_iters, body, init)
+    idx = jnp.sum(needed > jnp.asarray(levels, jnp.int32)).astype(jnp.int32)
+    return lax.switch(
+        jnp.clip(idx, 0, len(levels) - 1),
+        [
+            (lambda l: (lambda _: lax.fori_loop(0, l, body, init)))(l)
+            for l in levels
+        ],
+        None,
+    )
+
+
+def _weighted_block_ladder(
+    start: Array, deg: Array, K: int, seed: int, centers: Array, hop: int,
+    weights: Array, max_degree: int,
+):
+    """A-Res over whole 128-lane WEIGHT BLOCKS: instead of fetching each
+    window element (XLA scalar gather, ~13-20 ns/element — 0.7 s/batch at
+    chunk 512), DMA each center's enclosing blocks of the [E/128, 128]
+    weight view with the pallas row ring (~8 ns per 128 lanes) and compute
+    keys for every lane directly, masking lanes outside [start, start+deg).
+    Key set per (center, offset) is identical to the element path, so the
+    selected top-K is bit-equal."""
+    B = start.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    E = weights.shape[0]
+    pad_e = -E % 128
+    w2 = weights.astype(jnp.float32)
+    if pad_e:
+        w2 = jnp.concatenate([w2, jnp.zeros((pad_e,), jnp.float32)])
+    w2 = w2.reshape(-1, 128)
+    nblk_tab = w2.shape[0]
+    span = _NB * 128
+    total_iters = max(-(-(127 + max_degree) // span), 1)
+    blk0 = start >> 7
+    s_lane = start & 127
+    lane_iota = jnp.arange(span, dtype=jnp.int32)[None, :]
+    cb = jnp.broadcast_to(centers[:, None], (B, span))
+
+    from .gather_pallas import _gather_rows_pallas3_impl
+
+    def body(c, carry):
+        best_keys, best_pos = carry
+        bids = blk0[:, None] + c * _NB + jnp.arange(_NB, dtype=jnp.int32)[None, :]
+        flat = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+        pad_m = -flat.shape[0] % 1024
+        if pad_m:
+            flat = jnp.concatenate([flat, jnp.zeros((pad_m,), flat.dtype)])
+        blocks = _gather_rows_pallas3_impl(w2, flat)[: B * _NB]
+        w = blocks.reshape(B, span)
+        offs = c * span + lane_iota - s_lane[:, None]
+        valid = (offs >= 0) & (offs < deg[:, None])
+        offs = jnp.where(valid, offs, 0)
+        u = rng.rand_uniform(seed, cb, hop * _HOP_STRIDE + offs)
+        key = jnp.where(
+            valid & (w > 0), jnp.log(jnp.maximum(u, 1e-20)) / w, neg_inf
+        )
+        return _merge_topk(
+            best_keys, best_pos, key, K,
+            lambda topi: c * span + (topi - K) - s_lane[:, None],
+        )
+
+    init = (jnp.full((B, K), neg_inf, jnp.float32), jnp.zeros((B, K), jnp.int32))
+    needed = jnp.max(-(-(s_lane + deg) // span))
+    best_keys, best_pos = _ladder_run(body, init, total_iters, needed)
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    mask = (slots < jnp.minimum(deg, K)[:, None]) & (best_keys > neg_inf)
+    return jnp.where(mask, best_pos, 0), mask
+
+
 def _sample_positions_weighted(
     start: Array,
     deg: Array,
@@ -180,8 +284,21 @@ def _sample_positions_weighted(
     ``max(deg)`` — the static-shape analog of the reference's
     actual-degree-proportional warp top-K (func.cuh:169-219).  Chunks past a
     center's degree contribute only -inf keys, so every ladder level is
-    bit-identical on the centers it covers."""
+    bit-identical on the centers it covers.
+
+    On TPU with replicated weights the hot path is
+    :func:`_weighted_block_ladder` (whole-block weight DMAs); this chunked
+    element-fetch form serves distributed/CPU cases and is bit-equal."""
     B = deg.shape[0]
+    if (
+        not hasattr(weights, "gather")
+        and jax.default_backend() == "tpu"
+        and getattr(weights, "ndim", 0) == 1
+        and B >= 256
+    ):
+        return _weighted_block_ladder(
+            start, deg, K, seed, centers, hop, weights, max_degree
+        )
     total_chunks = max(-(-max_degree // chunk), 1)
     neg_inf = jnp.float32(-jnp.inf)
 
@@ -198,10 +315,9 @@ def _sample_positions_weighted(
         key = jnp.where(
             valid & (w > 0), jnp.log(jnp.maximum(u, 1e-20)) / w, neg_inf
         )
-        merged_keys = jnp.concatenate([best_keys, key], axis=1)
-        merged_pos = jnp.concatenate([best_pos, jnp.where(valid, offs, 0)], axis=1)
-        topk, topi = lax.top_k(merged_keys, K)
-        return topk, jnp.take_along_axis(merged_pos, topi, axis=1)
+        return _merge_topk(
+            best_keys, best_pos, key, K, lambda topi: c * chunk + (topi - K)
+        )
 
     def run_level(nchunks):
         def branch(_):
