@@ -253,9 +253,10 @@ def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
         res = csr_sample_neighbors(
             row_ptr, col, centers, K, seed=0,
             weights=w[0] if w else None,
-            # declared max_degree far above the actual: the degree ladder
-            # must keep the cost proportional to the batch's real max
-            max_degree=65536 if weighted else None,
+            # declared max_degree far above the actual: the degree ladders
+            # (weight fetch + col block fetch) must keep the cost
+            # proportional to the batch's real max
+            max_degree=65536,
         )
         return res.neighbors[0, 0].astype(jnp.float32)
 

@@ -134,6 +134,30 @@ def test_sampler_element_fetch_parity():
     )
 
 
+def test_col_block_fetch_matches_element_path():
+    """The per-center block-cover col fetch (engaged when a static
+    max_degree is declared) must return exactly what the per-element path
+    returns — positions don't depend on max_degree, so the two
+    csr_sample_neighbors calls differ only in the col-fetch kernel."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from wholegraph_tpu.testing import random_csr
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    row_ptr, col = random_csr(2000, avg_deg=12, seed=3)
+    centers = np.random.RandomState(4).randint(0, 2000, 1024)
+    args = (jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), 8)
+    res_e = csr_sample_neighbors(*args, seed=9)  # no max_degree -> element
+    res_b = csr_sample_neighbors(*args, seed=9, max_degree=4096)  # block
+    np.testing.assert_array_equal(np.asarray(res_e.mask), np.asarray(res_b.mask))
+    np.testing.assert_array_equal(
+        np.asarray(res_e.positions), np.asarray(res_b.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_e.neighbors), np.asarray(res_b.neighbors)
+    )
+
+
 def test_weighted_sampling_parity_tpu():
     """Weighted A-Res sampler on real TPU hardware vs the host replay,
     through the degree-ladder lax.switch (r1 weak #5).
@@ -152,7 +176,9 @@ def test_weighted_sampling_parity_tpu():
 
     row_ptr, col = random_csr(300, avg_deg=18, seed=7, max_deg=900)
     weights = (np.random.RandomState(8).rand(row_ptr[-1]) + 0.1).astype(np.float32)
-    centers = np.random.RandomState(9).randint(0, 300, 64)
+    # >= 256 centers so the BLOCK weight ladder (the TPU production path,
+    # not the element-fetch fallback) is what gets parity-tested
+    centers = np.random.RandomState(9).randint(0, 300, 512)
     K = 6
     res = csr_sample_neighbors(
         jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,

@@ -405,7 +405,82 @@ def csr_sample_neighbors(
         )
 
     edge_ids = start[:, None] + pos
-    flat = jnp.where(mask, edge_ids, 0).reshape(-1)
-    nbrs = _fetch_elements(col, flat, **kw).reshape(edge_ids.shape).astype(jnp.int32)
+    nbrs = _fetch_cols(col, start, deg, pos, mask, max_degree, **kw)
     nbrs = jnp.where(mask, nbrs, -1)
     return SampleResult(nbrs, mask, pos, edge_ids, deg)
+
+
+_NB_COL = 2  # 128-lane col blocks fetched per center per ladder iteration
+
+
+def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):
+    """col[start[b] + pos[b, k]] for the sampled positions.
+
+    Element path: one 128-lane block DMA per ELEMENT (B*K descriptors).
+    Block path (TPU, replicated col, static max_degree): DMA each center's
+    enclosing blocks once per ladder iteration and lane-select all K
+    elements from them — B*_NB_COL*iters descriptors, a ~7x cut at fanout
+    15 on low-degree batches.  A lax.cond picks the cheaper side from the
+    BATCH's actual span (the ladder is batch-global: one high-degree center
+    forces every center through all its iterations, so wide batches fall
+    back to per-element fetches)."""
+    B, K = pos.shape
+    edge_ids = start[:, None] + pos
+    flat = jnp.where(mask, edge_ids, 0).reshape(-1)
+
+    def element_path(_):
+        return (
+            _fetch_elements(col, flat, **kw)
+            .reshape(B, K)
+            .astype(jnp.int32)
+        )
+
+    use_blocks = (
+        not hasattr(col, "gather")
+        and jax.default_backend() == "tpu"
+        and max_degree is not None
+        and 0 < int(max_degree) < 2**24
+        and B >= 256
+    )
+    if not use_blocks:
+        return element_path(None)
+
+    from .gather_pallas import _gather_rows_pallas3_impl
+
+    E = col.shape[0]
+    pad_e = -E % 128
+    c2 = col.astype(jnp.int32)
+    if pad_e:
+        c2 = jnp.concatenate([c2, jnp.zeros((pad_e,), jnp.int32)])
+    c2 = c2.reshape(-1, 128)
+    nblk_tab = c2.shape[0]
+    span = _NB_COL * 128
+    total_iters = max(-(-(127 + int(max_degree)) // span), 1)
+    blk0 = start >> 7
+    s_lane = start & 127
+    eidx = s_lane[:, None] + jnp.where(mask, pos, 0)  # [B, K]
+    lane_iota = jnp.arange(span, dtype=jnp.int32)[None, None, :]
+
+    def body(c, out):
+        bids = blk0[:, None] + c * _NB_COL + jnp.arange(
+            _NB_COL, dtype=jnp.int32
+        )[None, :]
+        fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+        pad_m = -fl.shape[0] % 1024
+        if pad_m:
+            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+        lanes = _gather_rows_pallas3_impl(c2, fl)[: B * _NB_COL].reshape(B, span)
+        loc = eidx - c * span  # [B, K]
+        cover = (loc >= 0) & (loc < span)
+        # lane select via masked reduce (a [B, K] take_along_axis over a
+        # span-wide operand costs ~15 ms at this shape on v5e — avoided)
+        onehot = loc[:, :, None] == lane_iota
+        sel = jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+        return jnp.where(cover, sel, out)
+
+    needed = jnp.max(-(-(s_lane + jnp.maximum(deg, 1)) // span))
+
+    def block_path(_):
+        return _ladder_run(body, jnp.zeros((B, K), jnp.int32), total_iters, needed)
+
+    return lax.cond(needed * _NB_COL <= K, block_path, element_path, None)
