@@ -82,13 +82,17 @@ def main():
         max_degree=int(np.diff(ds.row_ptr).max()),
     )
 
-    # feature store: sharded table; trainable => embedding with sparse optimizer
+    # feature store: sharded table; trainable => embedding with sparse optimizer.
+    # The hot-row cache machinery works on flat ShardedTable views, so a
+    # cached run keeps the table flat (native layout would pay a per-step
+    # relayout inside fetch_rows instead of speeding the sparse apply).
     emb = Embedding.create(
         mesh,
         ds.node_count,
         ds.feat_dim,
         optimizer=create_optimizer(args.embed_optimizer),
         axis=AXIS,
+        native_layout=False if args.cache_type != "none" else None,
     )
     if ds.features is not None:
         estate = emb.from_array(ds.features)
@@ -111,7 +115,7 @@ def main():
         from wholegraph_tpu.embedding.cache import build_hot_cache, hot_ids_by_degree
         from wholegraph_tpu.memory import ShardedTable
 
-        feat_table = ShardedTable(estate.table, emb.plan, mesh, emb.axis)
+        feat_table = emb.as_sharded_table(estate)
         cache = build_hot_cache(
             feat_table, hot_ids_by_degree(ds.row_ptr, args.cache_ratio)
         )
@@ -166,7 +170,7 @@ def main():
             from wholegraph_tpu.embedding.cache import gather_with_cache
             from wholegraph_tpu.memory import ShardedTable
 
-            tab = ShardedTable(estate.table, emb.plan, mesh, emb.axis)
+            tab = emb.as_sharded_table(estate)
             return gather_with_cache(
                 tab, cache, ml.unique_gids, capacity_factor=args.capacity_factor
             )
@@ -323,7 +327,7 @@ def main():
             from wholegraph_tpu.memory import ShardedTable as _ST
 
             cache = refresh_hot_cache(
-                _ST(estate.table, emb.plan, mesh, emb.axis), cache
+                emb.as_sharded_table(estate), cache
             )
         if ckpt is not None and (epoch + 1) % args.ckpt_every == 0:
             ckpt.save_embedding(emb, estate, args.save_dir, "node_emb")

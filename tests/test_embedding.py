@@ -252,3 +252,74 @@ def test_make_train_step(mesh8):
         state, loss = step(state, ids_dev, tgt_dev)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.3, losses[::8]
+
+
+def test_native_layout_bitequal_to_flat(mesh8):
+    """native_layout=True stores table+slots as [cap, dim//128, 128]; every
+    public result (gather, apply, to_array, slot_to_array) must be BIT-equal
+    to the flat-layout twin — the layout changes only how rows move, not the
+    math (elementwise optimizers run directly on the native row shape)."""
+    from wholegraph_tpu.embedding import LazyAdam
+
+    n, dim, B = 600, 128, 256
+    init = deterministic_rows(n, dim)
+    rng = np.random.RandomState(7)
+    states = {}
+    embs = {}
+    for native in (False, True):
+        emb = Embedding.create(
+            mesh8, n, dim, optimizer=LazyAdam(), native_layout=native
+        )
+        embs[native] = emb
+        states[native] = emb.from_array(init)
+    assert states[True].table.ndim == 3 and states[False].table.ndim == 2
+
+    for step in range(1, 4):
+        ids = rng.randint(0, n, B).astype(np.int64)
+        mask = rng.rand(B) > 0.1
+        grads = rng.randn(B, dim).astype(np.float32)
+        outs = {}
+        for native in (False, True):
+            emb, st = embs[native], states[native]
+            rows = emb.gather(st, put(mesh8, ids, P("data")))
+            outs[native] = np.asarray(rows)
+            states[native] = emb.apply_gradients(
+                st, put(mesh8, ids, P("data")),
+                put(mesh8, grads, P("data", None)), 0.05,
+                mask=put(mesh8, mask, P("data")),
+            )
+        np.testing.assert_array_equal(outs[False], outs[True])
+
+    np.testing.assert_array_equal(
+        embs[False].to_array(states[False]), embs[True].to_array(states[True])
+    )
+    for k in ("m", "v"):
+        np.testing.assert_array_equal(
+            embs[False].slot_to_array(states[False], k),
+            embs[True].slot_to_array(states[True], k),
+        )
+
+
+def test_native_layout_checkpoint_roundtrip(mesh8, tmp_path):
+    """save_embedding/load_embedding round-trips a native-layout state
+    (parts are written flat; reload converts back to native)."""
+    from wholegraph_tpu.embedding import LazyAdam
+    from wholegraph_tpu.io.checkpoint import load_embedding, save_embedding
+
+    n, dim = 300, 128
+    emb = Embedding.create(mesh8, n, dim, optimizer=LazyAdam(), native_layout=True)
+    state = emb.from_array(deterministic_rows(n, dim))
+    ids = np.arange(64)
+    grads = np.ones((64, dim), np.float32)
+    state = emb.apply_gradients(
+        state, put(mesh8, ids, P("data")), put(mesh8, grads, P("data", None)), 0.1
+    )
+    save_embedding(emb, state, str(tmp_path), "nat")
+    state2 = load_embedding(emb, str(tmp_path), "nat")
+    assert state2.table.ndim == 3
+    np.testing.assert_array_equal(emb.to_array(state), emb.to_array(state2))
+    for k in ("m", "v"):
+        np.testing.assert_array_equal(
+            emb.slot_to_array(state, k), emb.slot_to_array(state2, k)
+        )
+    assert int(state2.step) == int(state.step)

@@ -430,3 +430,43 @@ def test_host_embedding_train_step_tpu():
     # gather again: cached rows must reflect the update (coherence)
     rows2 = emb.gather(state, ids)
     np.testing.assert_allclose(np.asarray(rows2), expect[ids_np], rtol=1e-5)
+
+
+def test_native_layout_apply_ring_tpu():
+    """Native-layout embedding on hardware: the optimizer row movement goes
+    through the pallas ring (gather3 + masked scatter3, no table relayout)
+    and must stay bit-equal to the flat XLA take/.at[].set twin."""
+    from wholegraph_tpu.embedding import Embedding, LazyAdam
+    from wholegraph_tpu.parallel import create_global_mesh
+
+    mesh = create_global_mesh()
+    n, dim, B = 20_000, 256, 4096  # B >= 1024 -> ring path
+    rng = np.random.RandomState(3)
+    init = rng.randn(n, dim).astype(np.float32)
+    embs, states = {}, {}
+    for native in (False, True):
+        e = Embedding.create(mesh, n, dim, optimizer=LazyAdam(), native_layout=native)
+        embs[native], states[native] = e, e.from_array(init)
+    assert states[True].table.ndim == 3
+
+    for step in range(2):
+        ids = rng.randint(0, n, B).astype(np.int32)
+        mask = rng.rand(B) > 0.05
+        grads = rng.randn(B, dim).astype(np.float32)
+        outs = {}
+        for native in (False, True):
+            e, st = embs[native], states[native]
+            outs[native] = np.asarray(e.gather(st, jnp.asarray(ids)))
+            states[native] = e.apply_gradients(
+                st, jnp.asarray(ids), jnp.asarray(grads), 0.05,
+                mask=jnp.asarray(mask),
+            )
+        np.testing.assert_array_equal(outs[False], outs[True])
+    np.testing.assert_array_equal(
+        embs[False].to_array(states[False]), embs[True].to_array(states[True])
+    )
+    for k in ("m", "v"):
+        np.testing.assert_array_equal(
+            embs[False].slot_to_array(states[False], k),
+            embs[True].slot_to_array(states[True], k),
+        )

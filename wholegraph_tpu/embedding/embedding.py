@@ -88,17 +88,54 @@ def _optimizer_step(
     shard, slot_shards, uids, seg_grads, step, lr, *, plan, opt, slot_names
 ):
     """Sparse optimizer step on the touched local rows (ids are logical ids
-    owned by this shard; entries >= plan.n are padding)."""
+    owned by this shard; entries >= plan.n are padding).
+
+    The optimizer row movement (read + write of table + every slot) is the
+    apply step's dominant cost; on TPU with NATIVE-layout state the rows
+    move through the pallas DMA ring (~126 GB/s) instead of XLA
+    take/.at[].set (~42 GB/s measured, scripts/exp_apply.py).  Optimizer
+    math is elementwise, so it runs directly on the native row shape."""
     oob = jnp.asarray(plan.n, uids.dtype)
     valid = uids < oob
     slots_local = plan.local_slot(jnp.where(valid, uids, 0))
     take_idx = jnp.where(valid, slots_local, 0)
+    R = uids.shape[0]
+    grads = seg_grads.reshape(R, *shard.shape[1:])
+    use_ring = (
+        shard.ndim == 3
+        and jax.default_backend() == "tpu"
+        and R >= 1024
+    )
+    if use_ring:
+        from ..ops.gather_pallas import (
+            _gather_rows_pallas3_impl,
+            scatter_rows_masked3,
+        )
+
+        idx = take_idx.astype(jnp.int32)
+        pad = -R % 1024
+        if pad:
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
+        prow = _gather_rows_pallas3_impl(shard, idx)[:R].astype(jnp.float32)
+        srow = {
+            n: _gather_rows_pallas3_impl(s, idx)[:R].astype(jnp.float32)
+            for n, s in zip(slot_names, slot_shards)
+        }
+        new_rows, new_srow = opt.update(prow, grads, srow, step, lr)
+        wslots = jnp.where(valid, slots_local, -1).astype(jnp.int32)
+        shard = scatter_rows_masked3(shard, wslots, new_rows.astype(shard.dtype))
+        new_slot_shards = tuple(
+            scatter_rows_masked3(s, wslots, new_srow[n].astype(s.dtype))
+            for n, s in zip(slot_names, slot_shards)
+        )
+        return shard, new_slot_shards
+
     prow = jnp.take(shard, take_idx, axis=0).astype(jnp.float32)
     srow = {
         n: jnp.take(s, take_idx, axis=0).astype(jnp.float32)
         for n, s in zip(slot_names, slot_shards)
     }
-    new_rows, new_srow = opt.update(prow, seg_grads, srow, step, lr)
+    new_rows, new_srow = opt.update(prow, grads, srow, step, lr)
 
     write_idx = jnp.where(valid, slots_local, shard.shape[0])  # drop padding
     shard = shard.at[write_idx].set(new_rows.astype(shard.dtype), mode="drop")
@@ -238,13 +275,14 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
     # whole sharded table (in-place semantics, SURVEY §7 hard part)
     if emb.plan.world == 1:
         return jax.jit(body, donate_argnums=(0, 1))
+    tspec = P(emb.axis, *([None] * len(emb._row_shape)))
     return jax.jit(
         jax.shard_map(
             body,
             mesh=emb.mesh,
             in_specs=(
-                P(emb.axis, None),
-                tuple(P(emb.axis, None) for _ in slot_names),
+                tspec,
+                tuple(tspec for _ in slot_names),
                 P(emb.axis),
                 P(emb.axis, None),
                 P(emb.axis),
@@ -252,8 +290,8 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
                 P(),
             ),
             out_specs=(
-                P(emb.axis, None),
-                tuple(P(emb.axis, None) for _ in slot_names),
+                tspec,
+                tuple(tspec for _ in slot_names),
             ),
             check_vma=False,
         ),
@@ -272,6 +310,12 @@ class Embedding:
     axis: str = "data"
     dtype: object = jnp.float32
     optimizer: SparseOptimizer = dataclasses.field(default_factory=SGD)
+    # Store table + slots in the pallas kernels' NATIVE tile layout
+    # ``[cap, dim//128, 128]``: the flat<->native reshape is a true relayout
+    # that XLA re-runs EVERY step for loop-carried state (measured 18 vs 125
+    # GB/s on the scatter ring), so mutable state lives native and only
+    # per-batch rows / host views convert.  Auto-on when dim % 128 == 0.
+    native_layout: bool = False
 
     # -- construction ---------------------------------------------------------
 
@@ -285,11 +329,14 @@ class Embedding:
         dtype=jnp.float32,
         axis: str = "data",
         plan: Optional[PartitionPlan] = None,
+        native_layout: Optional[bool] = None,
     ) -> "Embedding":
         world = _axis_size(mesh, axis)
         if plan is None:
             plan = PartitionPlan.equal(n, world)
         check_input(plan.world == world, "plan world != mesh axis size")
+        if native_layout is None:
+            native_layout = dim % 128 == 0
         return Embedding(
             plan=plan,
             dim=dim,
@@ -297,11 +344,34 @@ class Embedding:
             axis=axis,
             dtype=dtype,
             optimizer=optimizer or SGD(),
+            native_layout=native_layout and dim % 128 == 0,
         )
 
     @property
+    def _row_shape(self) -> tuple:
+        if self.native_layout:
+            return (self.dim // 128, 128)
+        return (self.dim,)
+
+    @property
     def _sharding(self):
-        return NamedSharding(self.mesh, P(self.axis, None))
+        return NamedSharding(
+            self.mesh, P(self.axis, *([None] * len(self._row_shape)))
+        )
+
+    def table_2d(self, state: EmbeddingState) -> Array:
+        """Flat ``[cap, dim]`` view of the (possibly native-layout) table —
+        one relayout pass; for checkpoint/eval-rate access, not training
+        loops."""
+        if state.table.ndim == 2:
+            return state.table
+        return state.table.reshape(state.table.shape[0], self.dim)
+
+    def as_sharded_table(self, state: EmbeddingState):
+        """Wrap the table as a read-only :class:`ShardedTable` (flat view)."""
+        from ..memory.sharded_table import ShardedTable
+
+        return ShardedTable(self.table_2d(state), self.plan, self.mesh, self.axis)
 
     def init(
         self,
@@ -310,17 +380,22 @@ class Embedding:
     ) -> EmbeddingState:
         """Initialise table (+ zero optimizer slots, create_optimizer_states
         analog).  Default init: scaled normal."""
-        phys = (self.plan.total_physical_rows, self.dim)
+        cap = self.plan.total_physical_rows
+        phys = (cap, self.dim)
         if initializer is None:
             scale = 1.0 / np.sqrt(max(self.dim, 1))
             initializer = lambda k, s, d: (jax.random.normal(k, s) * scale).astype(d)
         if key is None:
             key = jax.random.PRNGKey(0)
         make_t = jax.jit(
-            lambda k: initializer(k, phys, self.dtype), out_shardings=self._sharding
+            lambda k: initializer(k, phys, self.dtype).reshape(cap, *self._row_shape),
+            out_shardings=self._sharding,
         )
         table = make_t(key)
-        make_z = jax.jit(lambda: jnp.zeros(phys, jnp.float32), out_shardings=self._sharding)
+        make_z = jax.jit(
+            lambda: jnp.zeros((cap, *self._row_shape), jnp.float32),
+            out_shardings=self._sharding,
+        )
         slots = {n: make_z() for n in self.optimizer.slot_names}
         return EmbeddingState(table, slots, jnp.zeros((), jnp.int32))
 
@@ -328,10 +403,15 @@ class Embedding:
         """Build state from a host logical [n, dim] array."""
         arr = np.asarray(arr)
         check_input(arr.shape == (self.plan.n, self.dim), "array shape mismatch")
-        phys = np.zeros((self.plan.total_physical_rows, self.dim), dtype=arr.dtype)
+        cap = self.plan.total_physical_rows
+        phys = np.zeros((cap, self.dim), dtype=arr.dtype)
         phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))] = arr
-        table = jax.device_put(phys.astype(np.dtype(self.dtype)), self._sharding)
-        zeros = np.zeros_like(phys, dtype=np.float32)
+        # numpy reshape to the native row shape is a VIEW (row-major match)
+        table = jax.device_put(
+            phys.astype(np.dtype(self.dtype)).reshape(cap, *self._row_shape),
+            self._sharding,
+        )
+        zeros = np.zeros((cap, *self._row_shape), dtype=np.float32)
         slots = {
             n: jax.device_put(zeros.copy(), self._sharding)
             for n in self.optimizer.slot_names
@@ -356,13 +436,16 @@ class Embedding:
             expected_rows=self.plan.n,
         )
         check_input(tab.plan == self.plan, "loaded plan != embedding plan")
-        zeros_sharding = self._sharding
+        cap = self.plan.total_physical_rows
+        to_native = jax.jit(
+            lambda t: t.reshape(cap, *self._row_shape), out_shardings=self._sharding
+        )
         make_z = jax.jit(
-            lambda: jnp.zeros((self.plan.total_physical_rows, self.dim), jnp.float32),
-            out_shardings=zeros_sharding,
+            lambda: jnp.zeros((cap, *self._row_shape), jnp.float32),
+            out_shardings=self._sharding,
         )
         slots = {n: make_z() for n in self.optimizer.slot_names}
-        return EmbeddingState(tab.data, slots, jnp.zeros((), jnp.int32))
+        return EmbeddingState(to_native(tab.data), slots, jnp.zeros((), jnp.int32))
 
     # -- forward --------------------------------------------------------------
 
@@ -445,9 +528,9 @@ class Embedding:
     # -- host access (tests / checkpoint) -------------------------------------
 
     def to_array(self, state: EmbeddingState) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.table))
+        phys = np.asarray(jax.device_get(state.table)).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
 
     def slot_to_array(self, state: EmbeddingState, name: str) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.slots[name]))
+        phys = np.asarray(jax.device_get(state.slots[name])).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]

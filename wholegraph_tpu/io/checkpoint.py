@@ -25,6 +25,7 @@ import os
 import threading
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,13 +70,15 @@ def _embedding_manifest(
     emb: Embedding, state: EmbeddingState, directory: str, name: str
 ) -> Manifest:
     os.makedirs(directory, exist_ok=True)
+    cap = emb.plan.total_physical_rows
+    flat = lambda a: a if a.ndim == 2 else a.reshape(cap, emb.dim)
     files = _table_parts(
-        ShardedTable(state.table, emb.plan, emb.mesh, emb.axis),
+        ShardedTable(flat(state.table), emb.plan, emb.mesh, emb.axis),
         os.path.join(directory, f"{name}_embedding_tensor"),
     )
     for slot_name, arr in state.slots.items():
         files += _table_parts(
-            ShardedTable(arr, emb.plan, emb.mesh, emb.axis),
+            ShardedTable(flat(arr), emb.plan, emb.mesh, emb.axis),
             os.path.join(directory, f"{name}_{slot_name}"),
         )
     meta = {
@@ -116,14 +119,22 @@ def load_embedding(emb: Embedding, directory: str, name: str) -> EmbeddingState:
         pc, emb.mesh, emb.dim, meta["dtype"], axis=emb.axis, plan=emb.plan,
         saved_plan=saved_plan,
     )
+    to_native = jax.jit(
+        lambda t: t.reshape(emb.plan.total_physical_rows, *emb._row_shape),
+        out_shardings=emb._sharding,
+    )
     slots = {}
     for s in meta["slots"]:
-        slots[s] = load_table_from_parts(
-            os.path.join(directory, f"{name}_{s}"),
-            pc, emb.mesh, emb.dim, "float32", axis=emb.axis, plan=emb.plan,
-            saved_plan=saved_plan,
-        ).data
-    return EmbeddingState(table.data, slots, jnp.asarray(meta["step"], jnp.int32))
+        slots[s] = to_native(
+            load_table_from_parts(
+                os.path.join(directory, f"{name}_{s}"),
+                pc, emb.mesh, emb.dim, "float32", axis=emb.axis, plan=emb.plan,
+                saved_plan=saved_plan,
+            ).data
+        )
+    return EmbeddingState(
+        to_native(table.data), slots, jnp.asarray(meta["step"], jnp.int32)
+    )
 
 
 def _flat_host_parts(flat, plan, dim: int, path_prefix: str):

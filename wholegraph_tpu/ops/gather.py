@@ -39,6 +39,7 @@ XLA is shape-static, so the alltoallv becomes one of:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -89,23 +90,31 @@ _PALLAS_MIN_ROWS = 4096  # below this, jnp.take's lower fixed overhead wins
 
 
 def _local_take_impl(shard: Array, slots: Array) -> Array:
+    """Rows of a 2-D [N, D] shard or a NATIVE-layout 3-D [N, D//128, 128]
+    shard (the loop-carry form — the 2-D<->3-D reshape is a real relayout,
+    so mutable tables store 3-D and only per-batch outputs convert).
+    Always returns flat [B, D]."""
+    native3 = shard.ndim == 3 and shard.shape[-1] == 128
     if (
         jax.default_backend() == "tpu"
-        and shard.ndim == 2
-        and shard.shape[1] % 128 == 0
+        and (native3 or (shard.ndim == 2 and shard.shape[1] % 128 == 0))
         and slots.ndim == 1
         and slots.shape[0] >= _PALLAS_MIN_ROWS
     ):
-        from .gather_pallas import gather_rows_pallas
+        from .gather_pallas import _gather_rows_pallas3_impl, gather_rows_pallas
 
         B = slots.shape[0]
         slots = jnp.clip(slots.astype(jnp.int32), 0, shard.shape[0] - 1)
         pad = -B % 1024
         if pad:
             slots = jnp.concatenate([slots, jnp.zeros((pad,), slots.dtype)])
+        if native3:
+            out = _gather_rows_pallas3_impl(shard, slots)[:B]
+            return out.reshape(B, -1)
         out = gather_rows_pallas(shard, slots)
         return out[:B] if pad else out
-    return jnp.take(shard, slots, axis=0, mode="clip")
+    out = jnp.take(shard, slots, axis=0, mode="clip")
+    return out.reshape(slots.shape[0], -1) if native3 else out
 
 
 @jax.custom_vjp
@@ -129,6 +138,7 @@ def _local_take_fwd(shard, slots):
 def _local_take_bwd(res, ct):
     slots, shard = res
     clipped = jnp.clip(slots, 0, shard.shape[0] - 1)
+    ct = ct.reshape(ct.shape[0], *shard.shape[1:])  # [B, D] ct onto 3-D shards
     dshard = (
         jnp.zeros(shard.shape, ct.dtype)
         .at[clipped]
@@ -144,15 +154,18 @@ local_take.defvjp(_local_take_fwd, _local_take_bwd)
 
 def local_write(shard: Array, slots: Array, rows: Array, mask: Optional[Array] = None) -> Array:
     """Scatter rows into a local shard (scatter_func_kernel analog).
-    Out-of-bounds slots are dropped; ``mask=False`` rows are dropped too."""
+    Out-of-bounds slots are dropped; ``mask=False`` rows are dropped too.
+    ``rows`` is flat [B, D]; 3-D native-layout shards accepted."""
     if mask is not None:
         slots = jnp.where(mask, slots, shard.shape[0])
+    rows = rows.reshape(rows.shape[0], *shard.shape[1:])
     return shard.at[slots].set(rows, mode="drop")
 
 
 def local_add(shard: Array, slots: Array, rows: Array, mask: Optional[Array] = None) -> Array:
     if mask is not None:
         slots = jnp.where(mask, slots, shard.shape[0])
+    rows = rows.reshape(rows.shape[0], *shard.shape[1:])
     return shard.at[slots].add(rows, mode="drop")
 
 
@@ -317,7 +330,8 @@ def _gather_shard_a2a(
     # out-of-range ids are served as zero rows and never enter a bucket
     in_range = (ids >= 0) & (ids < oob)
 
-    out = jnp.zeros((B, shard.shape[1]), shard.dtype)
+    row_width = math.prod(shard.shape[1:])
+    out = jnp.zeros((B, row_width), shard.dtype)
     delivered = ~in_range
     serve = functools.partial(
         _serve_requests, shard, plan=plan, oob=oob, local_kernel=local_kernel
@@ -348,10 +362,11 @@ def _scatter_round(shard, ids, rows, owner_eff, delivered, *, plan, axis, cap, o
 
     valid = recv_ids < oob
     slots = jnp.where(valid, plan.local_slot(jnp.where(valid, recv_ids, 0)), shard.shape[0])
+    rws = recv_rows.astype(shard.dtype).reshape(-1, *shard.shape[1:])
     if accumulate:
-        shard = shard.at[slots].add(recv_rows.astype(shard.dtype), mode="drop")
+        shard = shard.at[slots].add(rws, mode="drop")
     else:
-        shard = shard.at[slots].set(recv_rows.astype(shard.dtype), mode="drop")
+        shard = shard.at[slots].set(rws, mode="drop")
     delivered = delivered.at[safe_pos].set(True, mode="drop")
     return shard, delivered
 
@@ -414,10 +429,9 @@ def _gather_shard_allgather(shard: Array, ids: Array, *, plan: PartitionPlan, ax
     owner = plan.owner(all_ids)
     mine = owner == me
     slots = plan.local_slot(all_ids)
-    rows = local_take(shard, slots)
+    rows = local_take(shard, slots)  # always flat [W*B, D]
     rows = jnp.where(mine[:, None], rows, jnp.zeros_like(rows))
-    out = lax.psum_scatter(rows, axis_name=axis, scatter_dimension=0, tiled=True)
-    return out.reshape(B, *shard.shape[1:])
+    return lax.psum_scatter(rows, axis_name=axis, scatter_dimension=0, tiled=True)
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +542,7 @@ def gather_hierarchical(
         )
         return out[:, 0]
 
-    fn = _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2)
+    fn = _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2, data.ndim)
     return fn(data, ids)
 
 
@@ -606,7 +620,7 @@ def _bucket_cap(B_local: int, world: int, factor: float) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False, local_kernel="ring"):
+def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False, local_kernel="ring", data_ndim=2):
     """Jitted shard_map gather, cached per static config — eager callers pay
     compile once, not per-op dispatch through the mesh."""
     if method == "allgather":
@@ -631,7 +645,7 @@ def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False, local_kernel="r
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis)),
+            in_specs=(P(axis, *([None] * (data_ndim - 1))), P(axis)),
             out_specs=P(axis, None),
             check_vma=False,
         )
@@ -639,7 +653,7 @@ def _build_gather_fn(plan, mesh, axis, method, cap, dedup=False, local_kernel="r
 
 
 @functools.lru_cache(maxsize=None)
-def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact=True):
+def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact=True, data_ndim=2):
     body = functools.partial(
         _scatter_shard_a2a, plan=plan, axis=axis, cap=cap, accumulate=accumulate,
         exact=exact,
@@ -648,8 +662,8 @@ def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact=True):
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(axis, None)),
-            out_specs=P(axis, None),
+            in_specs=(P(axis, *([None] * (data_ndim - 1))), P(axis), P(axis, None)),
+            out_specs=P(axis, *([None] * (data_ndim - 1))),
             check_vma=False,
         ),
         donate_argnums=(0,) if donate else (),
@@ -657,7 +671,7 @@ def _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact=True):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2):
+def _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2, data_ndim=2):
     n_nodes = mesh.shape[node_axis]
     per_node = mesh.shape[device_axis]
     body = functools.partial(
@@ -674,7 +688,10 @@ def _build_hier_fn(plan, mesh, node_axis, device_axis, cap1, cap2):
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P((node_axis, device_axis), None), P((node_axis, device_axis))),
+            in_specs=(
+                P((node_axis, device_axis), *([None] * (data_ndim - 1))),
+                P((node_axis, device_axis)),
+            ),
             out_specs=P((node_axis, device_axis), None),
             check_vma=False,
         )
@@ -760,7 +777,7 @@ def gather(
         cap = min(cap, world * B_local)
     else:
         cap = 0
-    fn = _build_gather_fn(plan, mesh, axis, method, cap, dedup, local_kernel)
+    fn = _build_gather_fn(plan, mesh, axis, method, cap, dedup, local_kernel, data.ndim)
     return fn(data, ids)
 
 
@@ -846,5 +863,5 @@ def scatter(
     check_input(B_global % world == 0, "global batch must divide mesh axis")
     B_local = B_global // world
     cap = _bucket_cap(B_local, world, capacity_factor)
-    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact)
+    fn = _build_scatter_fn(plan, mesh, axis, cap, accumulate, donate, exact, data.ndim)
     return fn(data, ids, rows)

@@ -606,6 +606,15 @@ def local_take_sorted(
     not support.  Reference analog: the sorted/unique indices fast path of
     gather_op.cpp:118-120 + sort_unique_indices_func.cu.
     """
+    if shard.ndim == 3:  # native-layout carry: window kernel is 2-D-only,
+        # the exact ring serves it without any table relayout
+        B = slots.shape[0]
+        ids = jnp.clip(
+            _pad_ids(slots.astype(jnp.int32), 1024), 0, shard.shape[0] - 1
+        )
+        if jax.default_backend() != "tpu" or B < 4096:
+            return jnp.take(shard, slots, axis=0, mode="clip").reshape(B, -1)
+        return gather_rows_pallas3(shard, ids).reshape(ids.shape[0], -1)[:B]
     N, D = shard.shape
     auto = tile is None and window is None and group is None and wsub is None
     dtile, dwindow, dgroup, dwsub = _window_plan(
@@ -1041,6 +1050,49 @@ def gather_rows_masked(
     static_argnames=("id_block", "n_inflight"),
     donate_argnums=(0,),
 )
+def scatter_rows_masked3(
+    table3: Array,
+    slots: Array,
+    rows3: Array,
+    *,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+) -> Array:
+    """Native-tile-layout masked scatter: table3[slots[i]] = rows3[i] for
+    slots >= 0 (slot < 0 skipped), both in the kernel's ``[., D//128, 128]``
+    layout; the table3 buffer is donated and updated in place (the loop-carry
+    form — see :func:`scatter_rows_pallas3` for why)."""
+    B = slots.shape[0]
+    assert rows3.shape[1:] == table3.shape[1:], (rows3.shape, table3.shape)
+    slots = _pad_ids(slots.astype(jnp.int32), id_block)
+    Bp = slots.shape[0]
+    if Bp != B:
+        rows3 = jnp.concatenate(
+            [rows3, jnp.zeros((Bp - B, *rows3.shape[1:]), rows3.dtype)]
+        )
+    return pl.pallas_call(
+        functools.partial(
+            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight
+        ),
+        grid=(Bp // id_block,),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(table3.shape, table3.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0},
+    )(slots, rows3, table3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("id_block", "n_inflight"),
+    donate_argnums=(0,),
+)
 def scatter_rows_masked(
     table: Array,
     slots: Array,
@@ -1051,29 +1103,17 @@ def scatter_rows_masked(
 ) -> Array:
     """table[slots[i]] = rows[i] for slots >= 0 (slot < 0 skipped); the table
     buffer is donated and updated in place.  HBM tables only; the pinned-host
-    writeback analog is :func:`host_scatter_rows` on a FLAT host buffer."""
+    writeback analog is :func:`host_scatter_rows` on a FLAT host buffer.
+    Flat [N, D] in/out; loop-carried tables should use
+    :func:`scatter_rows_masked3` (relayout cost)."""
     B = slots.shape[0]
     N, D = table.shape
     assert D % 128 == 0 and rows.shape == (B, D)
-    slots = _pad_ids(slots.astype(jnp.int32), id_block)
-    Bp = slots.shape[0]
-    if Bp != B:
-        rows = jnp.concatenate([rows, jnp.zeros((Bp - B, D), rows.dtype)])
-    table_space = pltpu.ANY
-    out3 = pl.pallas_call(
-        functools.partial(
-            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight
-        ),
-        grid=(Bp // id_block,),
-        in_specs=[
-            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=table_space),
-        ],
-        out_specs=pl.BlockSpec(memory_space=table_space),
-        out_shape=jax.ShapeDtypeStruct((N, D // 128, 128), table.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={2: 0},
-    )(slots, rows.reshape(Bp, D // 128, 128), table.reshape(N, D // 128, 128))
+    out3 = scatter_rows_masked3(
+        table.reshape(N, D // 128, 128),
+        slots,
+        rows.reshape(B, D // 128, 128),
+        id_block=id_block,
+        n_inflight=n_inflight,
+    )
     return out3.reshape(N, D)
