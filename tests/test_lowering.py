@@ -76,3 +76,44 @@ def test_hierarchical_lowers_for_4x8_mesh():
         jax.ShapeDtypeStruct((32 * 1024, 128), jnp.float32),
         jax.ShapeDtypeStruct((4096,), jnp.int32),
     )
+
+
+def test_native3_gather_scatter_lower_for_8dev_mesh():
+    """Native-tile-layout [cap, D//128, 128] shards through the exact a2a
+    gather and scatter bodies: the exchange keeps batch rows flat [B, D]
+    while the shard stays 3-D (embedding-state layout)."""
+    mesh = AbstractMesh((8,), ("data",))
+    plan = PartitionPlan.equal(8192, 8)
+    body = functools.partial(_gather_shard_a2a, plan=plan, axis="data", cap=48)
+    _lower(
+        body, mesh, (P("data", None, None), P("data")), P("data", None),
+        jax.ShapeDtypeStruct((8192, 1, 128), jnp.float32),
+        jax.ShapeDtypeStruct((2048,), jnp.int32),
+    )
+    sbody = functools.partial(
+        _scatter_shard_a2a, plan=plan, axis="data", cap=48, accumulate=False
+    )
+    _lower(
+        sbody, mesh,
+        (P("data", None, None), P("data"), P("data", None)),
+        P("data", None, None),
+        jax.ShapeDtypeStruct((8192, 1, 128), jnp.float32),
+        jax.ShapeDtypeStruct((2048,), jnp.int32),
+        jax.ShapeDtypeStruct((2048, 128), jnp.float32),
+    )
+
+
+def test_native3_hierarchy_lowers_for_32dev_mesh():
+    mesh = AbstractMesh((4, 8), ("node", "device"))
+    plan = PartitionPlan.equal(65536, 32)
+    body = functools.partial(
+        _gather_shard_hierarchy, plan=plan, node_axis="node",
+        device_axis="device", n_nodes=4, per_node=8, cap1=1024, cap2=512,
+    )
+    _lower(
+        body, mesh,
+        (P(("node", "device"), None, None), P(("node", "device"))),
+        P(("node", "device"), None),
+        jax.ShapeDtypeStruct((65536, 2, 128), jnp.float32),
+        jax.ShapeDtypeStruct((2048,), jnp.int32),
+    )
