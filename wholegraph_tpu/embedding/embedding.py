@@ -112,20 +112,28 @@ def _optimizer_step(
             scatter_rows_masked3,
         )
 
+        # id_block=256 (not the ring default 1024): Mosaic fully unrolls
+        # each ring's issue loop, and this program contains 2*(1+n_slots)
+        # rings — 6 x 1024 unrolled DMA issues pushed the remote compile
+        # past 25 minutes; 6 x 256 compiles like one standard ring at
+        # ~0.15 us/step extra launch overhead.
+        kb = dict(id_block=256, n_inflight=128)
         idx = take_idx.astype(jnp.int32)
-        pad = -R % 1024
+        pad = -R % kb["id_block"]
         if pad:
             idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
-        prow = _gather_rows_pallas3_impl(shard, idx)[:R].astype(jnp.float32)
+        prow = _gather_rows_pallas3_impl(shard, idx, **kb)[:R].astype(jnp.float32)
         srow = {
-            n: _gather_rows_pallas3_impl(s, idx)[:R].astype(jnp.float32)
+            n: _gather_rows_pallas3_impl(s, idx, **kb)[:R].astype(jnp.float32)
             for n, s in zip(slot_names, slot_shards)
         }
         new_rows, new_srow = opt.update(prow, grads, srow, step, lr)
         wslots = jnp.where(valid, slots_local, -1).astype(jnp.int32)
-        shard = scatter_rows_masked3(shard, wslots, new_rows.astype(shard.dtype))
+        shard = scatter_rows_masked3(
+            shard, wslots, new_rows.astype(shard.dtype), **kb
+        )
         new_slot_shards = tuple(
-            scatter_rows_masked3(s, wslots, new_srow[n].astype(s.dtype))
+            scatter_rows_masked3(s, wslots, new_srow[n].astype(s.dtype), **kb)
             for n, s in zip(slot_names, slot_shards)
         )
         return shard, new_slot_shards
