@@ -230,6 +230,10 @@ def test_gather_overflow_counter(mesh8):
     skew = put_ids(mesh8, np.zeros(256, np.int64))
     dropped = int(gather_overflow(skew, plan=plan, mesh=mesh8)[0])
     assert dropped == 8 * (32 - 24), dropped
+    # sampler padding (ids >= n) never enters a bucket -> no phantom overflow
+    padded = np.random.RandomState(1).randint(0, n, 256).astype(np.int64)
+    padded[128:] = n + np.arange(128)  # multilayer padding convention
+    assert int(gather_overflow(put_ids(mesh8, padded), plan=plan, mesh=mesh8)[0]) == 0
 
 
 @pytest.mark.parametrize("plan_kind", PLANS)

@@ -264,7 +264,15 @@ class GraphStructure:
                 )
             )
             gmask = (uids >= 0) & (uids < n)
-            gids = jnp.where(gmask, uids, 0)  # sanitize dummies/padding for fetches
+            # padding -> the OOB sentinel n: distributed gathers serve OOB
+            # ids as zero rows WITHOUT exchanging them (in_range filter), so
+            # the worst-case-sized unique buffer's padded tail costs no
+            # wire/bucket volume (padding at id 0 flooded owner 0's bucket
+            # with phantom requests — measured 100K+ probe overflow on a
+            # 512-center batch); apply_gradients' mask= keeps optimizer
+            # state untouched either way, and replicated-array consumers
+            # clip + mask.
+            gids = jnp.where(gmask, uids, n)
             level_gids.append(gids)
             level_masks.append(gmask)
         return MultilayerSample(

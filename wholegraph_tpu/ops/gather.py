@@ -784,7 +784,14 @@ def gather(
 @functools.lru_cache(maxsize=None)
 def _build_overflow_fn(plan, mesh, axis, cap):
     def body(ids):
-        owner = plan.owner(ids)
+        # out-of-range ids (e.g. sampler padding >= n) are served as zero
+        # rows locally and never enter a bucket (_gather_shard_a2a's
+        # in_range) — excluding them here keeps the probe from reporting
+        # phantom overflow on padded batches
+        in_range = (ids >= 0) & (ids < plan.n)
+        owner = jnp.where(
+            in_range, plan.owner(jnp.where(in_range, ids, 0)), plan.world
+        )
         counts = jnp.bincount(owner, length=plan.world)
         dropped = jnp.sum(jnp.maximum(counts - cap, 0))
         return lax.psum(dropped.reshape(1), axis_name=axis)
