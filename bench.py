@@ -29,6 +29,7 @@ out the fixed round trip (utils/perf.py measure_chain).
 
 import argparse
 import json
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -435,4 +436,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the ONE-JSON-line contract
+        # holds even when the backend is down (round-2's BENCH_r02 recorded
+        # rc=1 with zero parseable output when the axon tunnel was wedged)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "error",
+            "value": 0,
+            "unit": "",
+            "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(1)

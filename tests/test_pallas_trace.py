@@ -1,0 +1,128 @@
+"""Off-hardware TRACE tests for the pallas kernels' shape plumbing.
+
+The pallas ring/window kernels only *execute* on TPU (tests/test_pallas_tpu.py),
+but their shape logic — 2-D vs native 3-D tables, padding, VJP cotangent
+reshapes — is pure trace-time Python that jax.eval_shape exercises on any
+backend.  Round-2 regression: _gather_rows_pallas3_impl unpacked
+`N, D = table.shape` and crashed at trace time for every native-layout
+caller (ops/gather.py local_take, embedding ring apply, local_take_sorted),
+which CPU tests never reached because the dispatch is backend-gated.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wholegraph_tpu.ops.gather_pallas import (
+    _gather_rows_pallas3_impl,
+    gather_rows_pallas,
+    gather_rows_pallas3,
+    scatter_rows_masked3,
+    scatter_rows_pallas3,
+)
+
+
+def _aval(shape, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gather3_traces_2d_table(dtype):
+    out = jax.eval_shape(
+        _gather_rows_pallas3_impl, _aval((8192, 256), dtype), _aval((2048,), jnp.int32)
+    )
+    assert out.shape == (2048, 2, 128) and out.dtype == dtype
+
+
+@pytest.mark.parametrize("nplanes", [1, 2, 4])
+def test_gather3_traces_native3_table(nplanes):
+    """Native [cap, D//128, 128] loop-carry shards (embedding state layout)."""
+    out = jax.eval_shape(
+        _gather_rows_pallas3_impl,
+        _aval((8192, nplanes, 128)),
+        _aval((2048,), jnp.int32),
+    )
+    assert out.shape == (2048, nplanes, 128)
+
+
+def test_gather3_traces_nondefault_ring_params():
+    # the embedding ring apply uses id_block=256/n_inflight=128
+    f = lambda t, i: _gather_rows_pallas3_impl(t, i, id_block=256, n_inflight=128)
+    out = jax.eval_shape(f, _aval((4096, 2, 128)), _aval((1024,), jnp.int32))
+    assert out.shape == (1024, 2, 128)
+
+
+@pytest.mark.parametrize("tshape", [(8192, 256), (8192, 2, 128)])
+def test_gather3_vjp_traces_both_layouts(tshape):
+    """The custom VJP's cotangent scatter-add must match the table layout."""
+
+    def loss(t):
+        return gather_rows_pallas3(t, jnp.zeros((1024,), jnp.int32)).astype(
+            jnp.float32
+        ).sum()
+
+    g = jax.eval_shape(jax.grad(loss), _aval(tshape))
+    assert g.shape == tshape
+
+
+def test_flat_wrapper_traces():
+    out = jax.eval_shape(
+        gather_rows_pallas, _aval((8192, 384)), _aval((1024,), jnp.int32)
+    )
+    assert out.shape == (1024, 384)
+
+
+def test_scatter3_traces_native3():
+    out = jax.eval_shape(
+        scatter_rows_pallas3,
+        _aval((8192, 2, 128)),
+        _aval((1024,), jnp.int32),
+        _aval((1024, 2, 128)),
+    )
+    assert out.shape == (8192, 2, 128)
+
+
+def test_scatter_masked3_traces_native3():
+    out = jax.eval_shape(
+        scatter_rows_masked3,
+        _aval((8192, 2, 128)),
+        _aval((1024,), jnp.int32),
+        _aval((1024, 2, 128)),
+    )
+    assert out.shape == (8192, 2, 128)
+
+
+def test_embedding_ring_apply_traces():
+    """The full native-layout optimizer ring step traces end-to-end: this is
+    the exact program (gather rings + masked scatter rings over table and
+    slots) that tests/test_pallas_tpu.py::test_native_layout_apply_ring_tpu
+    executes on hardware."""
+    from unittest import mock
+
+    from wholegraph_tpu.embedding.embedding import _optimizer_step
+    from wholegraph_tpu.embedding.optimizers import create_optimizer
+    from wholegraph_tpu.memory import PartitionPlan
+
+    plan = PartitionPlan.equal(8192, 1)
+    opt = create_optimizer("lazy_adam")
+    names = opt.slot_names
+    R = 2048
+
+    def step(shard, slots, uids, grads):
+        return _optimizer_step(
+            shard, slots, uids, grads, jnp.int32(1), jnp.float32(1e-3),
+            plan=plan, opt=opt, slot_names=names,
+        )
+
+    with mock.patch(
+        "wholegraph_tpu.embedding.embedding.jax.default_backend",
+        return_value="tpu",
+    ):
+        out = jax.eval_shape(
+            step,
+            _aval((8192, 2, 128)),
+            tuple(_aval((8192, 2, 128)) for _ in names),
+            _aval((R,), jnp.int32),
+            _aval((R, 256)),
+        )
+    assert out[0].shape == (8192, 2, 128)

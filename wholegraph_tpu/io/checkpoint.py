@@ -46,7 +46,27 @@ def _table_parts(table: ShardedTable, path_prefix: str):
     ]
 
 
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    try:
+        _fsync_path(os.path.dirname(os.path.abspath(path)))
+    except OSError:  # pragma: no cover - some filesystems refuse dir fsync
+        pass
+
+
 def _write_manifest(manifest: Manifest) -> None:
+    """Durable commit protocol: every part file is written to a tmp name,
+    fsynced, then renamed; the meta file (the commit marker — its presence
+    declares the checkpoint complete) is written LAST the same way, and the
+    directory is fsynced after each rename so a crash/power loss can never
+    leave a durable meta pointing at missing or truncated parts."""
     try:
         from .native import write_rows_native
     except Exception:  # pragma: no cover
@@ -58,12 +78,17 @@ def _write_manifest(manifest: Manifest) -> None:
             write_rows_native(tmp, rows)
         else:
             rows.tofile(tmp)
+        _fsync_path(tmp)
         os.replace(tmp, path)
+        _fsync_dir(path)
     for path, meta in metas:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(path)
 
 
 def _embedding_manifest(

@@ -25,17 +25,26 @@ def _build() -> None:
     src = os.path.join(_CSRC, "fastio.cpp")
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
         return
-    subprocess.run(
+    proc = subprocess.run(
         ["make", "-C", _CSRC],
-        check=True,
         capture_output=True,
         timeout=120,
     )
+    if proc.returncode != 0:
+        err = (proc.stderr or proc.stdout or b"").decode(errors="replace")[-2000:]
+        raise RuntimeError(
+            f"make -C {_CSRC} failed (rc={proc.returncode}):\n{err}"
+        )
 
 
 try:  # pragma: no cover - exercised indirectly
     _build()
 except Exception as e:
+    # callers catch ImportError and fall back to numpy IO; carry the compiler
+    # output so a broken toolchain is diagnosable instead of a silent demotion
+    import warnings
+
+    warnings.warn(f"wholegraph_tpu native io unavailable, using numpy IO: {e}")
     raise ImportError(f"native io library not built: {e}") from e
 
 _lib = ctypes.CDLL(_LIB_PATH)

@@ -160,12 +160,18 @@ def _gather_rows_pallas3_impl(
     of relaying out to a flat [B, D] minor layout; callers that feed a
     reduction can keep the 3-D form).
 
-    table: [N, D] with D a multiple of 128; ids: [B] int32, B a multiple of
-    id_block.
+    table: [N, D] with D a multiple of 128, or already in the native tile
+    layout [N, D//128, 128] (loop-carry form — no relayout happens then);
+    ids: [B] int32, B a multiple of id_block.
     """
     B = ids.shape[0]
-    N, D = table.shape
-    assert D % 128 == 0, f"dim {D} must be a multiple of 128"
+    if table.ndim == 3:
+        assert table.shape[-1] == 128, table.shape
+        table3 = table
+    else:
+        N, D = table.shape
+        assert D % 128 == 0, f"dim {D} must be a multiple of 128"
+        table3 = table.reshape(N, D // 128, 128)
     assert B % id_block == 0, (B, id_block)
     ids = ids.astype(jnp.int32)
     grid = (B // id_block,)
@@ -177,10 +183,10 @@ def _gather_rows_pallas3_impl(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, D // 128, 128), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((B,) + table3.shape[1:], table.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, table.reshape(N, D // 128, 128))
+    )(ids, table3)
 
 
 @jax.custom_vjp
@@ -196,13 +202,15 @@ def _g3_fwd(table, ids):
 
 def _g3_bwd(res, ct):
     ids, table = res
-    N, D = table.shape
-    ct2 = ct.reshape(ct.shape[0], D)
+    N = table.shape[0]
     clipped = jnp.clip(ids, 0, N - 1)
+    # ct is [B, D//128, 128]; scatter-add in whichever layout `table` uses
+    # (3-D native carries stay 3-D — the 2-D reshape is a real relayout).
+    ct = ct.reshape((ct.shape[0],) + table.shape[1:])
     dtable = (
-        jnp.zeros((N, D), ct2.dtype)
+        jnp.zeros(table.shape, ct.dtype)
         .at[clipped]
-        .add(ct2, mode="drop")
+        .add(ct, mode="drop")
         .astype(table.dtype)
     )
     return dtable, jnp.zeros(ids.shape, jax.dtypes.float0)

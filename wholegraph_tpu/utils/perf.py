@@ -71,10 +71,12 @@ def measure_chain(step_fn: Callable, n_iters: int = 8, *args) -> float:
     @jax.jit
     def chain(n, *a):
         def body(i, acc):
-            # thread the carry into i: XLA cannot prove acc*0 == 0 for
-            # floats (NaN/Inf), so steps keyed on i are provably
-            # loop-dependent and cannot be hoisted out of the timing loop
-            ii = i + (acc * 0).astype(jnp.int32)
+            # thread the carry into i through an optimization barrier so
+            # steps keyed on i are provably loop-dependent and cannot be
+            # hoisted out of the timing loop; unlike the `(acc*0).astype
+            # (int32)` trick this stays well-defined when a step yields
+            # NaN/Inf (NaN*0 is NaN and float->int of NaN is unspecified)
+            ii, acc = jax.lax.optimization_barrier((i, acc))
             return acc + step_fn(ii, *a)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
