@@ -248,3 +248,59 @@ def test_sampled_train_full_graph_eval():
     np.testing.assert_allclose(
         np.asarray(logits_pad), np.asarray(logits)[:n], rtol=2e-4, atol=2e-4
     )
+
+
+def test_gcn_true_degree_matches_full_graph_exactly():
+    """GCN with degree_mode='true' + fanout >= max degree reproduces the
+    full-graph pass at tight tolerance (block degrees only approximate it:
+    a source's block out-degree misses edges to off-batch targets)."""
+    n, D, C = 120, 16, 4
+    row_ptr, col = hs.random_csr(n, avg_deg=6, seed=40)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=int(row_ptr[-1]),
+        max_degree=int(np.diff(row_ptr).max()),
+    )
+    K = int(np.diff(row_ptr).max())
+    rs = np.random.RandomState(41)
+    feats = jnp.asarray(rs.randn(n, D).astype(np.float32))
+    model = HomoGNN(
+        model_type="gcn", hidden_dim=16, num_classes=C, num_layers=2,
+        degree_mode="true",
+    )
+    ml = g.multilayer_sample(
+        jnp.asarray(np.arange(n)), (K, K), seed=0, with_degrees=True
+    )
+    # fetched degrees are the true row_ptr diffs
+    true_deg = np.diff(row_ptr)
+    for li, hop in enumerate(ml.hops):
+        nd = np.asarray(hop.node_degree)
+        lg = np.asarray(ml.level_gids[li + 1])
+        lm = np.asarray(ml.level_masks[li + 1])
+        np.testing.assert_array_equal(nd[lm], true_deg[lg[lm]])
+    x_all = feats[jnp.clip(ml.unique_gids, 0, n - 1)] * ml.unique_mask[:, None]
+    params = model.init(jax.random.PRNGKey(0), x_all, sample=ml)
+    logits_pad = model.apply(params, x_all, sample=ml)
+    logits_full = model.apply(params, feats, graph=g.to_full_graph())
+    np.testing.assert_allclose(
+        np.asarray(logits_pad), np.asarray(logits_full)[:n], rtol=2e-5, atol=2e-5
+    )
+    # block-degree mode on the same batch diverges (proves the flag matters)
+    model_blk = HomoGNN(
+        model_type="gcn", hidden_dim=16, num_classes=C, num_layers=2,
+        degree_mode="block",
+    )
+    logits_blk = model_blk.apply(params, x_all, sample=ml)
+    assert not np.allclose(
+        np.asarray(logits_blk), np.asarray(logits_full)[:n], atol=1e-3
+    )
+
+
+def test_gcn_degree_mode_true_requires_degrees():
+    hop = make_hop(4, 3, 10)
+    x = jnp.asarray(np.random.RandomState(5).randn(10, 6).astype(np.float32))
+    conv = GCNConv(out_dim=4, degree_mode="true")
+    with pytest.raises(AssertionError):
+        conv.init(jax.random.PRNGKey(0), x, hop)

@@ -46,9 +46,17 @@ class HopSubgraph:
     mask: Array
     center_mask: Array
     edge_type: Optional[Array] = None  # [B_l, K] relation ids (RGCN)
+    # TRUE graph degrees (row_ptr diffs) of the NEXT level's unique nodes
+    # (= this hop's x rows; targets are the prefix).  Padding slots hold 0.
+    # Populated by multilayer_sample(with_degrees=True); GCNConv uses these
+    # for exact D^-1/2 A D^-1/2 normalisation instead of block degrees.
+    node_degree: Optional[Array] = None
 
     def tree_flatten(self):
-        return (self.nbr_idx, self.mask, self.center_mask, self.edge_type), None
+        return (
+            self.nbr_idx, self.mask, self.center_mask, self.edge_type,
+            self.node_degree,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -217,10 +225,16 @@ class GraphStructure:
         weighted: bool = False,
         center_mask: Optional[Array] = None,
         gather_kwargs: Optional[dict] = None,
+        with_degrees: bool = False,
     ) -> MultilayerSample:
         """multilayer_sample_without_replacement analog
         (graph_structure.py:140-196): per layer sample + append_unique,
-        producing nested padded subgraphs."""
+        producing nested padded subgraphs.
+
+        ``with_degrees=True`` additionally fetches the TRUE graph degree
+        (row_ptr diff) of every unique node per level and stores it on each
+        hop (``HopSubgraph.node_degree``) — one extra element-gather per
+        layer — enabling exact GCN normalisation on sampled blocks."""
         n = self.node_count
         gids = centers.astype(jnp.int32)
         gmask = (
@@ -255,15 +269,27 @@ class GraphStructure:
                     .astype(jnp.int32)
                 )
                 etypes = jnp.where(emask, etypes, 0)
+            next_mask = (uids >= 0) & (uids < n)
+            node_degree = None
+            if with_degrees:
+                from ..ops.sampling import _fetch
+
+                safe = jnp.where(next_mask, uids, 0).astype(jnp.int32)
+                d0 = _fetch(self.row_ptr, safe, **(gather_kwargs or {}))
+                d1 = _fetch(self.row_ptr, safe + 1, **(gather_kwargs or {}))
+                node_degree = jnp.where(
+                    next_mask, (d1 - d0).astype(jnp.int32), 0
+                )
             hops.append(
                 HopSubgraph(
                     nbr_idx=jnp.where(emask, nmap.reshape(U, K), 0),
                     mask=emask,
                     center_mask=gmask,
                     edge_type=etypes,
+                    node_degree=node_degree,
                 )
             )
-            gmask = (uids >= 0) & (uids < n)
+            gmask = next_mask
             # padding -> the OOB sentinel n: distributed gathers serve OOB
             # ids as zero rows WITHOUT exchanging them (in_range filter), so
             # the worst-case-sized unique buffer's padded tail costs no

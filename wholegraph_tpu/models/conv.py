@@ -84,32 +84,54 @@ class SAGEConv(nn.Module):
 
 class GCNConv(nn.Module):
     """GCN conv, symmetric ``D^-1/2 A D^-1/2`` normalisation with implicit
-    self loop.  On a sampled ``HopSubgraph`` the degrees are the *block*
-    degrees (dst in-degree and src out-degree within the sampled bipartite
-    block, DGL GraphConv block semantics) — an approximation of the
-    full-graph degrees that converges as fanout covers the neighborhood."""
+    self loop.  On a sampled ``HopSubgraph``:
+
+    * ``degree_mode='block'``: degrees are the *block* degrees (dst
+      in-degree and src out-degree within the sampled bipartite block, DGL
+      GraphConv block semantics) — an approximation of the full-graph
+      degrees that converges as fanout covers the neighborhood;
+    * ``degree_mode='true'``: TRUE graph degrees from
+      ``HopSubgraph.node_degree`` (multilayer_sample(with_degrees=True)) —
+      with fanout >= max degree the sampled output matches the full-graph
+      pass exactly;
+    * ``degree_mode='auto'`` (default): true degrees when the hop carries
+      them, block degrees otherwise."""
 
     out_dim: int
     use_bias: bool = True
+    degree_mode: str = "auto"  # auto | block | true
 
     @nn.compact
     def __call__(self, x: Array, g: Adj) -> Array:
         h = nn.Dense(self.out_dim, use_bias=False, name="proj")(x)
         if isinstance(g, HopSubgraph):
             B = g.num_targets
-            deg_dst = jnp.sum(g.mask, axis=1) + 1  # in-degree + self loop
-            # out-degree of each source row within the block (+1 self loop
-            # for target rows, which are the prefix of x)
-            flat = jnp.where(g.mask, g.nbr_idx, x.shape[0]).reshape(-1)
-            deg_src = (
-                jnp.zeros((x.shape[0],), h.dtype)
-                .at[flat]
-                .add(1.0, mode="drop")
-                .at[jnp.arange(B)]
-                .add(1.0)
+            if self.degree_mode == "true":
+                assert g.node_degree is not None, (
+                    "degree_mode='true' needs HopSubgraph.node_degree; "
+                    "sample with multilayer_sample(with_degrees=True)"
+                )
+            use_true = (
+                self.degree_mode != "block" and g.node_degree is not None
             )
-            inv_src = jax.lax.rsqrt(jnp.maximum(deg_src, 1.0))
-            inv_dst = jax.lax.rsqrt(deg_dst.astype(h.dtype))
+            if use_true:
+                nd = g.node_degree.astype(h.dtype) + 1.0  # + self loop
+                inv_src = jax.lax.rsqrt(jnp.maximum(nd, 1.0))
+                inv_dst = inv_src[:B]
+            else:
+                deg_dst = jnp.sum(g.mask, axis=1) + 1  # in-degree + self loop
+                # out-degree of each source row within the block (+1 self
+                # loop for target rows, which are the prefix of x)
+                flat = jnp.where(g.mask, g.nbr_idx, x.shape[0]).reshape(-1)
+                deg_src = (
+                    jnp.zeros((x.shape[0],), h.dtype)
+                    .at[flat]
+                    .add(1.0, mode="drop")
+                    .at[jnp.arange(B)]
+                    .add(1.0)
+                )
+                inv_src = jax.lax.rsqrt(jnp.maximum(deg_src, 1.0))
+                inv_dst = jax.lax.rsqrt(deg_dst.astype(h.dtype))
             agg = S.padded_reduce(h * inv_src[:, None], g.nbr_idx, g.mask, "sum")
             out = (agg + (h * inv_src[:, None])[:B]) * inv_dst[:, None]
         else:

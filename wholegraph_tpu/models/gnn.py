@@ -42,12 +42,13 @@ def make_conv(
     num_heads: int = 1,
     num_relations: int = 0,
     aggregator: str = "mean",
+    degree_mode: str = "auto",
 ):
     mt = model_type.lower()
     if mt in ("sage", "graphsage"):
         return SAGEConv(out_dim=out_dim, aggregator=aggregator)
     if mt == "gcn":
-        return GCNConv(out_dim=out_dim)
+        return GCNConv(out_dim=out_dim, degree_mode=degree_mode)
     if mt == "gat":
         return GATConv(out_dim=out_dim // max(num_heads, 1), num_heads=num_heads)
     if mt == "rgcn":
@@ -74,6 +75,7 @@ class HomoGNN(nn.Module):
     dropout: float = 0.5
     aggregator: str = "mean"  # sage: mean | sum | max
     framework: str = "wg"  # API parity; always resolves to native
+    degree_mode: str = "auto"  # gcn: auto | block | true (see GCNConv)
 
     @nn.compact
     def __call__(
@@ -106,6 +108,7 @@ class HomoGNN(nn.Module):
                 num_heads=self.num_heads if i < L - 1 else 1,
                 num_relations=self.num_relations,
                 aggregator=self.aggregator,
+                degree_mode=self.degree_mode,
             )
             if self.model_type.lower() == "rgcn":
                 et = edge_types[L - 1 - i] if edge_types is not None else None
