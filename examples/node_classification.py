@@ -51,7 +51,21 @@ def main():
                          "asynchronously every --ckpt-every epochs "
                          "(background IO overlapped with training)")
     ap.add_argument("--ckpt-every", type=int, default=1)
+    ap.add_argument("--synthetic-nodes", type=int, default=10_000,
+                    help="node count for --graph-name synthetic")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny fast preset (small graph/model/batches) for "
+                         "first-touch runs and CI: ~30s on the CPU mesh "
+                         "instead of minutes")
     args = ap.parse_args()
+    if args.smoke:
+        args.synthetic_nodes = min(args.synthetic_nodes, 2000)
+        args.feat_dim = 32
+        args.classnum = 8
+        args.hiddensize = 32
+        args.batchsize = 256
+        args.valid_batchsize = 512
+        args.neighbors = ",".join(["5"] * args.layernum)
     fanouts = parse_fanouts(args.neighbors)
     assert len(fanouts) == args.layernum, "--neighbors must match --layernum"
 
@@ -67,7 +81,11 @@ def main():
           + (" (hierarchy)" if use_hier else ""))
 
     if args.graph_name == "synthetic":
-        ds = synthetic_dataset(feat_dim=args.feat_dim, num_classes=args.classnum)
+        ds = synthetic_dataset(
+            n=args.synthetic_nodes,
+            feat_dim=args.feat_dim,
+            num_classes=args.classnum,
+        )
     else:
         ds = load_converted_dataset(
             args.root_dir, args.graph_name, args.feat_dim, args.classnum

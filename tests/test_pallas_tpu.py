@@ -470,3 +470,63 @@ def test_native_layout_apply_ring_tpu():
             embs[False].slot_to_array(states[False], k),
             embs[True].slot_to_array(states[True], k),
         )
+
+
+@pytest.mark.parametrize("dim", [768, 1024, 1536])
+def test_wide_row_split_gather_exact(dim):
+    """Wide rows (>2KB f32) auto-split into sub-slab DMAs; output must be
+    byte-identical to the whole-slab kernel and to numpy."""
+    from wholegraph_tpu.ops.gather_pallas import _gather_rows_pallas3_impl
+
+    N, B = 20_000, 4096
+    rs = np.random.RandomState(7)
+    table = jnp.asarray(rs.randn(N, dim).astype(np.float32))
+    ids_np = rs.randint(0, N, B).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+    out_split = np.asarray(
+        _gather_rows_pallas3_impl(table, ids)
+    ).reshape(B, dim)
+    np.testing.assert_array_equal(out_split, np.asarray(table)[ids_np])
+    out_whole = np.asarray(
+        _gather_rows_pallas3_impl(table, ids, split=1)
+    ).reshape(B, dim)
+    np.testing.assert_array_equal(out_split, out_whole)
+
+
+def test_wide_row_split_scatter_exact():
+    from wholegraph_tpu.ops.gather_pallas import (
+        scatter_rows_masked3,
+        scatter_rows_pallas3,
+    )
+
+    N, dim, B = 20_000, 1024, 2048
+    P = dim // 128
+    rs = np.random.RandomState(8)
+    base = rs.randn(N, dim).astype(np.float32)
+    ids_np = rs.choice(N, B, replace=False).astype(np.int32)
+    rows_np = rs.randn(B, dim).astype(np.float32)
+    out = np.asarray(
+        scatter_rows_pallas3(
+            jnp.asarray(base).reshape(N, P, 128),
+            jnp.asarray(ids_np),
+            jnp.asarray(rows_np).reshape(B, P, 128),
+        )
+    ).reshape(N, dim)
+    expect = base.copy()
+    expect[ids_np] = rows_np
+    np.testing.assert_array_equal(out, expect)
+
+    # masked: negative slots skipped
+    slots = ids_np.copy()
+    slots[::3] = -1
+    out2 = np.asarray(
+        scatter_rows_masked3(
+            jnp.asarray(base).reshape(N, P, 128),
+            jnp.asarray(slots),
+            jnp.asarray(rows_np).reshape(B, P, 128),
+        )
+    ).reshape(N, dim)
+    expect2 = base.copy()
+    keep = slots >= 0
+    expect2[slots[keep]] = rows_np[keep]
+    np.testing.assert_array_equal(out2, expect2)

@@ -126,3 +126,46 @@ def test_embedding_ring_apply_traces():
             _aval((R, 256)),
         )
     assert out[0].shape == (8192, 2, 128)
+
+
+@pytest.mark.parametrize("nplanes,itemsize_dtype,expect_k", [
+    (2, jnp.float32, 1),    # 1KB: no split
+    (4, jnp.float32, 1),    # 2KB: no split (sweet spot)
+    (6, jnp.float32, 2),    # 3KB: 2 x 1.5KB
+    (8, jnp.float32, 2),    # 4KB: 2 x 2KB
+    (12, jnp.float32, 3),   # 6KB: 3 x 2KB
+    (7, jnp.float32, 7),    # prime planes: per-plane
+    (8, jnp.bfloat16, 1),   # 2KB bf16: no split
+    (16, jnp.bfloat16, 2),  # 4KB bf16
+])
+def test_wide_row_split_heuristic(nplanes, itemsize_dtype, expect_k):
+    from wholegraph_tpu.ops.gather_pallas import _wide_row_split
+
+    k = _wide_row_split(nplanes, jnp.dtype(itemsize_dtype).itemsize)
+    assert k == expect_k
+    assert nplanes % k == 0
+
+
+@pytest.mark.parametrize("nplanes", [6, 8, 12])
+def test_wide_row_gather_scatter_trace(nplanes):
+    """Wide-row split paths keep their logical shapes through tracing."""
+    out = jax.eval_shape(
+        _gather_rows_pallas3_impl,
+        _aval((8192, nplanes, 128)),
+        _aval((2048,), jnp.int32),
+    )
+    assert out.shape == (2048, nplanes, 128)
+    out = jax.eval_shape(
+        scatter_rows_pallas3,
+        _aval((8192, nplanes, 128)),
+        _aval((1024,), jnp.int32),
+        _aval((1024, nplanes, 128)),
+    )
+    assert out.shape == (8192, nplanes, 128)
+    out = jax.eval_shape(
+        scatter_rows_masked3,
+        _aval((8192, nplanes, 128)),
+        _aval((1024,), jnp.int32),
+        _aval((1024, nplanes, 128)),
+    )
+    assert out.shape == (8192, nplanes, 128)

@@ -31,15 +31,31 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflight: int):
+def _gather_kernel(
+    ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflight: int,
+    ksub: int = 1,
+):
+    """ksub > 1: WIDE-ROW mode — the caller has reviewed the table as
+    [N*ksub, P//ksub, 128] and each logical row moves as ksub independent
+    sub-row DMAs (row r sub s lives at physical row r*ksub + s).  Keeps
+    every descriptor in the 1-2KB sweet spot: whole-row slabs past ~2KB
+    measured ~70 GB/s on v5e vs 203 at 2KB (docs/DESIGN.md wide-row
+    section; reference handles any row size via its alignment dispatch,
+    gather_scatter_func.cuh:211-250)."""
     nb = pl.program_id(0)
     base = nb * id_block
+    total = id_block * ksub
 
     def dma(j):
-        idx = ids_ref[j]
+        if ksub == 1:
+            src, dst = ids_ref[j], base + j
+        else:
+            r, s = j // ksub, j % ksub
+            src = ids_ref[r] * ksub + s
+            dst = (base + r) * ksub + s
         return pltpu.make_async_copy(
-            table_ref.at[idx],
-            out_ref.at[base + j],
+            table_ref.at[src],
+            out_ref.at[dst],
             sems.at[j % n_inflight],
         )
 
@@ -51,29 +67,52 @@ def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflig
         dma(j).start()
         return 0
 
-    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+    lax.fori_loop(0, total, issue, 0, unroll=True)
 
     def drain(k, _):
-        dma(id_block - n_inflight + k).wait()
+        dma(total - n_inflight + k).wait()
         return 0
 
     lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _wide_row_split(n_planes: int, itemsize: int) -> int:
+    """Sub-DMAs per row (ksub) for the ring kernels: 1 while a whole
+    [n_planes, 128] slab stays within the ~2KB DMA sweet spot, else the
+    smallest split whose sub-slab fits (largest divisor of n_planes that
+    keeps sub-rows <= 2KB; prime plane counts degrade to per-plane moves)."""
+    sp_max = max(1, 2048 // (128 * itemsize))
+    if n_planes <= sp_max:
+        return 1
+    for sp in range(sp_max, 0, -1):
+        if n_planes % sp == 0:
+            return n_planes // sp
+    return n_planes
 
 
 def _scatter_kernel(
-    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block: int, n_inflight: int
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block: int,
+    n_inflight: int, ksub: int = 1,
 ):
     # out_ref aliases the donated table buffer (input_output_aliases);
-    # table_in_ref is the same memory and is not read.
+    # table_in_ref is the same memory and is not read.  ksub > 1: wide-row
+    # mode, table/rows re-viewed as [.*ksub, P//ksub, 128] (see
+    # _gather_kernel).
     del table_in_ref
     nb = pl.program_id(0)
     base = nb * id_block
+    total = id_block * ksub
 
     def dma(j):
-        idx = ids_ref[j]
+        if ksub == 1:
+            src, dst = base + j, ids_ref[j]
+        else:
+            r, s = j // ksub, j % ksub
+            src = (base + r) * ksub + s
+            dst = ids_ref[r] * ksub + s
         return pltpu.make_async_copy(
-            rows_ref.at[base + j],
-            out_ref.at[idx],
+            rows_ref.at[src],
+            out_ref.at[dst],
             sems.at[j % n_inflight],
         )
 
@@ -85,19 +124,22 @@ def _scatter_kernel(
         dma(j).start()
         return 0
 
-    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+    lax.fori_loop(0, total, issue, 0, unroll=True)
 
     def drain(k, _):
-        dma(id_block - n_inflight + k).wait()
+        dma(total - n_inflight + k).wait()
         return 0
 
     lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
 
 
-@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("id_block", "n_inflight", "split"),
+    donate_argnums=(0,),
+)
 def scatter_rows_pallas3(
     table3: Array, ids: Array, rows3: Array, *, id_block: int = 1024,
-    n_inflight: int = 256,
+    n_inflight: int = 256, split: int | None = None,
 ) -> Array:
     """Native-tile-layout scatter: table3[ids[i]] = rows3[i], both in the
     kernel's ``[., D//128, 128]`` layout; the table3 buffer is donated and
@@ -107,14 +149,31 @@ def scatter_rows_pallas3(
     the [N, D] <-> [N, D//128, 128] reshape is a real relayout (different
     XLA tilings, ~2x the scatter's own traffic per pass) that XLA hoists
     for loop-invariant gather operands but must re-run every iteration for
-    a reshaped carry."""
+    a reshaped carry.
+
+    split: wide-row sub-DMA count (auto like the gather ring: rows past
+    ~2KB move as <=2KB sub-slabs; 1 disables)."""
     B = ids.shape[0]
-    N = table3.shape[0]
+    orig_shape = table3.shape
+    P = table3.shape[1]
     assert B % id_block == 0, (B, id_block)
     assert rows3.shape[1:] == table3.shape[1:], (rows3.shape, table3.shape)
     ids = ids.astype(jnp.int32)
-    return pl.pallas_call(
-        functools.partial(_scatter_kernel, id_block=id_block, n_inflight=n_inflight),
+    ksub = (
+        _wide_row_split(P, jnp.dtype(table3.dtype).itemsize)
+        if split is None
+        else split
+    )
+    if ksub > 1:
+        assert P % ksub == 0, (P, ksub)
+        table3 = table3.reshape(table3.shape[0] * ksub, P // ksub, 128)
+        rows3 = rows3.reshape(B * ksub, P // ksub, 128)
+        while id_block * ksub > 1024 and id_block > 128 and B % (id_block // 2) == 0:
+            id_block //= 2
+    out = pl.pallas_call(
+        functools.partial(
+            _scatter_kernel, id_block=id_block, n_inflight=n_inflight, ksub=ksub
+        ),
         grid=(B // id_block,),
         in_specs=[
             pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
@@ -127,6 +186,7 @@ def scatter_rows_pallas3(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={2: 0},  # donated table buffer IS the output
     )(ids, rows3, table3)
+    return out.reshape(orig_shape) if ksub > 1 else out
 
 
 @functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"), donate_argnums=(0,))
@@ -151,9 +211,10 @@ def scatter_rows_pallas(
     return out3.reshape(N, D)
 
 
-@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
+@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight", "split"))
 def _gather_rows_pallas3_impl(
-    table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256
+    table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256,
+    split: int | None = None,
 ) -> Array:
     """out[i] = table[ids[i]] via pipelined row DMAs, returned in the
     kernel's native tile layout ``[B, D//128, 128]`` (avoids the ~25% cost
@@ -163,6 +224,12 @@ def _gather_rows_pallas3_impl(
     table: [N, D] with D a multiple of 128, or already in the native tile
     layout [N, D//128, 128] (loop-carry form — no relayout happens then);
     ids: [B] int32, B a multiple of id_block.
+
+    split: sub-DMAs per row for WIDE rows (default auto: rows past the
+    ~2KB descriptor sweet spot move as <=2KB sub-slabs via a re-view of the
+    table as [N*split, P//split, 128] — byte-identical layout, so the
+    re-view is free; 1 disables).  Keeps dim-768/1024 f32 gathers at the
+    2KB-row rate instead of the measured ~70 GB/s whole-slab cliff.
     """
     B = ids.shape[0]
     if table.ndim == 3:
@@ -174,19 +241,37 @@ def _gather_rows_pallas3_impl(
         table3 = table.reshape(N, D // 128, 128)
     assert B % id_block == 0, (B, id_block)
     ids = ids.astype(jnp.int32)
+    N3, P = table3.shape[0], table3.shape[1]
+    ksub = (
+        _wide_row_split(P, jnp.dtype(table.dtype).itemsize)
+        if split is None
+        else split
+    )
+    if ksub > 1:
+        assert P % ksub == 0, (P, ksub)
+        table3 = table3.reshape(N3 * ksub, P // ksub, 128)
+        # keep the unrolled DMA-issue count (id_block * ksub) at the
+        # standard ring's compile budget of ~1024
+        while id_block * ksub > 1024 and id_block > 128 and B % (id_block // 2) == 0:
+            id_block //= 2
     grid = (B // id_block,)
-    return pl.pallas_call(
-        functools.partial(_gather_kernel, id_block=id_block, n_inflight=n_inflight),
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_kernel, id_block=id_block, n_inflight=n_inflight, ksub=ksub
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B,) + table3.shape[1:], table.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * ksub,) + table3.shape[1:], table.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids, table3)
+    if ksub > 1:
+        out = out.reshape(B, P, 128)
+    return out
 
 
 @jax.custom_vjp
@@ -744,35 +829,45 @@ def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block, n_infl
 
 
 def _masked_scatter_kernel(
-    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block, n_inflight
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block, n_inflight,
+    ksub: int = 1,
 ):
     del table_in_ref  # aliased with out_ref
     nb = pl.program_id(0)
     base = nb * id_block
+    total = id_block * ksub
+
+    def valid(j):
+        return ids_ref[j // ksub] >= 0
 
     def dma(j):
-        idx = ids_ref[j]
+        if ksub == 1:
+            src, dst = base + j, ids_ref[j]
+        else:
+            r, s = j // ksub, j % ksub
+            src = (base + r) * ksub + s
+            dst = ids_ref[r] * ksub + s
         return pltpu.make_async_copy(
-            rows_ref.at[base + j], out_ref.at[idx], sems.at[j % n_inflight]
+            rows_ref.at[src], out_ref.at[dst], sems.at[j % n_inflight]
         )
 
     def issue(j, _):
-        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[j - n_inflight] >= 0))
+        @pl.when(jnp.logical_and(j >= n_inflight, valid(j - n_inflight)))
         def _wait():
             dma(j - n_inflight).wait()
 
-        @pl.when(ids_ref[j] >= 0)
+        @pl.when(valid(j))
         def _start():
             dma(j).start()
 
         return 0
 
-    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+    lax.fori_loop(0, total, issue, 0, unroll=True)
 
     def drain(k, _):
-        j = id_block - n_inflight + k
+        j = total - n_inflight + k
 
-        @pl.when(jnp.logical_and(j >= 0, ids_ref[j] >= 0))
+        @pl.when(jnp.logical_and(j >= 0, valid(j)))
         def _w():
             dma(j).wait()
 
@@ -1055,7 +1150,7 @@ def gather_rows_masked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("id_block", "n_inflight"),
+    static_argnames=("id_block", "n_inflight", "split"),
     donate_argnums=(0,),
 )
 def scatter_rows_masked3(
@@ -1065,12 +1160,16 @@ def scatter_rows_masked3(
     *,
     id_block: int = 1024,
     n_inflight: int = 128,
+    split: int | None = None,
 ) -> Array:
     """Native-tile-layout masked scatter: table3[slots[i]] = rows3[i] for
     slots >= 0 (slot < 0 skipped), both in the kernel's ``[., D//128, 128]``
     layout; the table3 buffer is donated and updated in place (the loop-carry
-    form — see :func:`scatter_rows_pallas3` for why)."""
+    form — see :func:`scatter_rows_pallas3` for why).  split: wide-row
+    sub-DMA count (auto; 1 disables)."""
     B = slots.shape[0]
+    orig_shape = table3.shape
+    P = table3.shape[1]
     assert rows3.shape[1:] == table3.shape[1:], (rows3.shape, table3.shape)
     slots = _pad_ids(slots.astype(jnp.int32), id_block)
     Bp = slots.shape[0]
@@ -1078,9 +1177,21 @@ def scatter_rows_masked3(
         rows3 = jnp.concatenate(
             [rows3, jnp.zeros((Bp - B, *rows3.shape[1:]), rows3.dtype)]
         )
-    return pl.pallas_call(
+    ksub = (
+        _wide_row_split(P, jnp.dtype(table3.dtype).itemsize)
+        if split is None
+        else split
+    )
+    if ksub > 1:
+        assert P % ksub == 0, (P, ksub)
+        table3 = table3.reshape(table3.shape[0] * ksub, P // ksub, 128)
+        rows3 = rows3.reshape(Bp * ksub, P // ksub, 128)
+        while id_block * ksub > 1024 and id_block > 128 and Bp % (id_block // 2) == 0:
+            id_block //= 2
+    out = pl.pallas_call(
         functools.partial(
-            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight
+            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight,
+            ksub=ksub,
         ),
         grid=(Bp // id_block,),
         in_specs=[
@@ -1094,6 +1205,7 @@ def scatter_rows_masked3(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={2: 0},
     )(slots, rows3, table3)
+    return out.reshape(orig_shape) if ksub > 1 else out
 
 
 @functools.partial(
