@@ -328,6 +328,7 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "scaling", "host_gather",
+            "host_gather_sorted",
         ],
         help="default gather_sorted: the production embedding-gather path on "
         "a deduped+sorted batch (what Embedding.gather receives from "
@@ -404,12 +405,15 @@ def main():
             "vs_baseline": round(eff / 0.8, 4),  # >=1.0 meets the 80% target
         }))
         return
-    if args.metric == "host_gather":
+    if args.metric in ("host_gather", "host_gather_sorted"):
         from wholegraph_tpu.embedding.host_embedding import bench_host_gather
 
-        gbps, dt = bench_host_gather(args.rows, args.dim, args.batch, args.iters)
+        gbps, dt = bench_host_gather(
+            args.rows, args.dim, args.batch, args.iters,
+            clustered=args.metric == "host_gather_sorted",
+        )
         print(json.dumps({
-            "metric": "host_tier_gather_bandwidth",
+            "metric": f"host_tier_{'gather_sorted' if 'sorted' in args.metric else 'gather'}_bandwidth",
             "value": round(gbps, 2),
             "unit": "GB/s",
             "vs_baseline": round(gbps / sol_gbps, 4),

@@ -530,3 +530,41 @@ def test_wide_row_split_scatter_exact():
     keep = slots >= 0
     expect2[slots[keep]] = rows_np[keep]
     np.testing.assert_array_equal(out2, expect2)
+
+
+def test_host_gather_spans_exact_clustered_and_scattered():
+    """Span-coalesced host gather: bit-exact on clustered batches and on
+    scattered batches (overflow -> per-row fallback inside lax.cond)."""
+    from wholegraph_tpu.ops.gather_pallas import (
+        host_gather_rows,
+        host_gather_rows_spans,
+    )
+
+    N, dim, B = 500_000, 256, 8192
+    rs = np.random.RandomState(11)
+    table_np = rs.randn(N, dim).astype(np.float32)
+    flat = jax.device_put(
+        table_np.reshape(-1),
+        jax.sharding.SingleDeviceSharding(
+            jax.devices()[0], memory_kind="pinned_host"
+        ),
+    )
+    # clustered: dense window
+    base = 123_456
+    slots_np = (base + np.sort(rs.choice(12_000, B, replace=False))).astype(
+        np.int32
+    )
+    rs.shuffle(slots_np)
+    out = np.asarray(
+        host_gather_rows_spans(flat, jnp.asarray(slots_np), dim=dim)
+    )
+    np.testing.assert_array_equal(out, table_np[slots_np])
+    # scattered: falls back, still exact
+    slots2 = rs.choice(N, B, replace=False).astype(np.int32)
+    out2 = np.asarray(
+        host_gather_rows_spans(flat, jnp.asarray(slots2), dim=dim)
+    )
+    np.testing.assert_array_equal(out2, table_np[slots2])
+    # agreement with the per-row ring on the same batch
+    out3 = np.asarray(host_gather_rows(flat, jnp.asarray(slots_np), dim=dim))
+    np.testing.assert_array_equal(out, out3)

@@ -169,3 +169,76 @@ def test_wide_row_gather_scatter_trace(nplanes):
         _aval((1024, nplanes, 128)),
     )
     assert out.shape == (8192, nplanes, 128)
+
+
+class TestHostSpanPlan:
+    """_span_plan is pure jnp: validate the coalescing plan on CPU by
+    emulating the span fetch with numpy and checking row-exact recovery."""
+
+    def _emulate(self, slots_np, n_rows, dim, span_rows, max_spans):
+        import numpy as np
+
+        from wholegraph_tpu.ops.gather_pallas import _span_plan
+
+        table = np.arange(n_rows * dim, dtype=np.float32).reshape(n_rows, dim)
+        fetch_ids, idx_orig, overflow = jax.jit(
+            _span_plan, static_argnums=(1, 2)
+        )(jnp.asarray(slots_np), span_rows, max_spans)
+        fetch_ids = np.asarray(fetch_ids)
+        idx_orig = np.asarray(idx_orig)
+        # emulate _host_fetch_chunks: span id s -> rows [s*span_rows, +span_rows)
+        fetched = np.zeros((max_spans * span_rows, dim), np.float32)
+        for k, sid in enumerate(fetch_ids):
+            if sid >= 0:
+                fetched[k * span_rows:(k + 1) * span_rows] = table[
+                    sid * span_rows:(sid + 1) * span_rows
+                ]
+        out = fetched[np.clip(idx_orig, 0, len(fetched) - 1)]
+        return out, bool(overflow), table
+
+    def test_clustered_exact(self):
+        import numpy as np
+
+        rs = np.random.RandomState(0)
+        n_rows, dim, span_rows = 100_000, 8, 32
+        B = 4096
+        base = rs.randint(0, n_rows - 8000)
+        slots = np.sort(rs.choice(8000, B, replace=False)).astype(np.int32) + base
+        rs.shuffle(slots)  # plan sorts internally
+        max_spans = 2 * ((B + span_rows - 1) // span_rows)
+        out, overflow, table = self._emulate(slots, n_rows, dim, span_rows, max_spans)
+        assert not overflow
+        np.testing.assert_array_equal(out, table[slots])
+
+    def test_invalid_slots_are_garbage_not_crash(self):
+        import numpy as np
+
+        rs = np.random.RandomState(1)
+        n_rows, dim, span_rows, B = 50_000, 8, 32, 2048
+        slots = np.sort(rs.choice(3000, B - 100, replace=False)).astype(np.int32)
+        slots = np.concatenate([slots, np.full(100, -1, np.int32)])
+        rs.shuffle(slots)
+        out, overflow, table = self._emulate(slots, n_rows, dim, span_rows, 512)
+        assert not overflow
+        valid = slots >= 0
+        np.testing.assert_array_equal(out[valid], table[slots[valid]])
+
+    def test_scattered_overflows(self):
+        import numpy as np
+
+        rs = np.random.RandomState(2)
+        n_rows, dim, span_rows, B = 1_000_000, 8, 32, 4096
+        slots = rs.choice(n_rows, B, replace=False).astype(np.int32)
+        max_spans = 2 * ((B + span_rows - 1) // span_rows)  # << B distinct spans
+        _, overflow, _ = self._emulate(slots, n_rows, dim, span_rows, max_spans)
+        assert overflow
+
+    def test_duplicate_slots_share_span_fetch(self):
+        import numpy as np
+
+        rs = np.random.RandomState(3)
+        n_rows, dim, span_rows, B = 10_000, 8, 32, 1024
+        slots = rs.choice(600, B, replace=True).astype(np.int32)
+        out, overflow, table = self._emulate(slots, n_rows, dim, span_rows, 256)
+        assert not overflow
+        np.testing.assert_array_equal(out, table[slots])

@@ -74,12 +74,18 @@ def _host_take(host_shard: Array, slots: Array, dim: int) -> Array:
     host_shard[r*dim:+dim]; slots < 0 → skipped: garbage row, mask it).
 
     TPU: pallas DMA ring over the flat HOST memref — PCIe bytes proportional
-    to the real (non-negative) slots, never a full-shard copy.  Host shards
-    are stored flat by contract: host-space buffers cannot be reshaped
+    to the real (non-negative) slots, never a full-shard copy.  Large
+    batches go through the span-coalescing gather (sorted slots merged into
+    ~32 KB multi-page DMAs, the reference's sorted-indices host path,
+    gather_op.cpp:118-120) with an automatic exact fallback to the per-row
+    ring when the batch is too scattered to coalesce.  Host shards are
+    stored flat by contract: host-space buffers cannot be reshaped
     in-program (see gather_pallas host-space constraints)."""
     if _use_host_kernels(dim, host_shard.dtype):
-        from ..ops.gather_pallas import host_gather_rows
+        from ..ops.gather_pallas import host_gather_rows, host_gather_rows_spans
 
+        if slots.shape[0] >= 4096:
+            return host_gather_rows_spans(host_shard, slots, dim=dim)
         return host_gather_rows(host_shard, slots, dim=dim)
     safe = jnp.where(slots >= 0, slots, 0)
     return jnp.take(host_shard.reshape(-1, dim), safe, axis=0, mode="clip")
@@ -511,9 +517,15 @@ def hot_ids_by_degree(row_ptr: np.ndarray, ratio: float) -> np.ndarray:
     return _h(row_ptr, ratio)
 
 
-def bench_host_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
+def bench_host_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8,
+                      clustered=False):
     """Host-tier gather bandwidth (bench.py --metric host_gather): world-1
-    cached-host serve with an empty cache — pure host-link row-fetch rate."""
+    cached-host serve with an empty cache — pure host-link row-fetch rate.
+
+    clustered=True draws each batch's ids from a dense ~1.25*batch-row
+    window (the deduped-sorted-batch regime) so the span-coalescing path
+    (host_gather_rows_spans, ~32 KB multi-page DMAs) engages; the host link
+    is descriptor-latency-bound, so this is the host tier's headline."""
     from ..parallel import create_global_mesh
     from ..utils.perf import measure_chain
 
@@ -524,11 +536,19 @@ def bench_host_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         n_local = n_rows
     emb = HostEmbedding.create(mesh, n_local, dim, cache_ratio=1e-9)
     state = emb.from_array(np.zeros((n_local, dim), np.float32))
+    span = int(batch * 1.25)
 
     def step(i, table, cmap, crows):
-        ids = jax.random.randint(
-            jax.random.PRNGKey(i), (batch,), 0, n_local, dtype=jnp.int32
-        )
+        if clustered:
+            key = jax.random.PRNGKey(i)
+            base = jax.random.randint(key, (), 0, max(n_local - span, 1))
+            ids = base + jax.random.randint(
+                jax.random.fold_in(key, 1), (batch,), 0, span, dtype=jnp.int32
+            )
+        else:
+            ids = jax.random.randint(
+                jax.random.PRNGKey(i), (batch,), 0, n_local, dtype=jnp.int32
+            )
         if world == 1:
             oob = jnp.asarray(emb.plan.n, jnp.int32)
             rows, _ = _serve_cached_host(
@@ -540,5 +560,9 @@ def bench_host_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
             )
         return rows[0, 0]
 
-    dt = measure_chain(step, iters, state.host_table, state.cache_map, state.cache_rows)
+    dts = sorted(
+        measure_chain(step, iters, state.host_table, state.cache_map, state.cache_rows)
+        for _ in range(3)
+    )
+    dt = dts[1]
     return batch * dim * 4 / dt / 1e9, dt

@@ -1051,6 +1051,107 @@ def host_gather_rows(
     return jnp.take_along_axis(out, r[:, None, None], axis=1)[:, 0][:B]
 
 
+def _span_geometry(dim: int, itemsize: int, span_bytes: int = 32768) -> int:
+    """Rows per coalesced host span: the largest span of ~span_bytes whose
+    byte size is a whole number of 4 KB host pages (HOST-space DMA slices
+    must be page-tiled).  Requires host_layout-compatible row sizes."""
+    rowbytes = dim * itemsize
+    span_rows = max(1, span_bytes // rowbytes)
+    assert (span_rows * rowbytes) % _HOST_PAGE == 0, (dim, itemsize)
+    return span_rows
+
+
+def _span_plan(slots: Array, span_rows: int, max_spans: int):
+    """Host-span coalescing plan (pure jnp — CPU-testable): sort the slots,
+    group them by aligned ``span_rows``-row spans, compact the first
+    occurrence of each span into a fetch list of static size ``max_spans``.
+
+    Returns (fetch_ids [max_spans] int32 span ids or -1, idx_orig [B] row
+    index into the fetched [max_spans*span_rows, dim] buffer in ORIGINAL
+    slot order, overflow bool scalar — True when the batch touches more
+    than max_spans distinct spans and the caller must fall back)."""
+    B = slots.shape[0]
+    valid = slots >= 0
+    key = jnp.where(valid, slots, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)  # invalid slots sort last
+    s_sorted = key[order]
+    v_sorted = valid[order]
+    span = jnp.where(v_sorted, s_sorted // span_rows, -1)
+    first = v_sorted & jnp.concatenate(
+        [jnp.ones((1,), bool), span[1:] != span[:-1]]
+    )
+    n_spans = jnp.sum(first)
+    overflow = n_spans > max_spans
+    fpos = jnp.nonzero(first, size=max_spans, fill_value=B)[0]
+    fetch_ids = jnp.where(
+        fpos < B, jnp.take(span, jnp.minimum(fpos, B - 1)), -1
+    ).astype(jnp.int32)
+    seg = jnp.clip(jnp.cumsum(first) - 1, 0, max_spans - 1)
+    idx = seg * span_rows + jnp.where(v_sorted, s_sorted % span_rows, 0)
+    idx_orig = jnp.zeros((B,), jnp.int32).at[order].set(idx.astype(jnp.int32))
+    return fetch_ids, idx_orig, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dim", "span_rows", "max_spans", "id_block", "n_inflight"),
+)
+def host_gather_rows_spans(
+    flat: Array,
+    slots: Array,
+    *,
+    dim: int,
+    span_rows: int = 0,
+    max_spans: int = 0,
+    id_block: int = 1024,
+    n_inflight: int = 128,
+) -> Array:
+    """Span-coalesced host gather: EXACT for any slots, fast when they are
+    CLUSTERED (dense deduped batches).  Sorts the slots, merges them into
+    aligned multi-page spans (~32 KB default) and fetches each needed span
+    with ONE host DMA — the host link is descriptor-latency-bound
+    (~16-25 us per descriptor regardless of 4-32 KB size), so clustered
+    batches move up to span_rows x more bytes per descriptor.  When the
+    batch touches more than ``max_spans`` distinct spans (scattered slots:
+    coalescing cannot help) a lax.cond falls back WHOLESALE to the per-row
+    ring — exactness never depends on clustering.
+
+    Reference analog: the sorted-indices host-memory gather path added
+    specifically to coalesce PCIe access (gather_op.cpp:118-120 +
+    sort_indices_func.cu).
+
+    slots < 0 -> garbage row (mask downstream), same contract as
+    :func:`host_gather_rows`.
+    """
+    isz = jnp.dtype(flat.dtype).itemsize
+    ce, rpp = host_layout(dim, flat.dtype)
+    assert ce, (dim, flat.dtype)
+    if span_rows == 0:
+        span_rows = _span_geometry(dim, isz)
+    B = slots.shape[0]
+    if max_spans == 0:
+        # sized for >=50% in-span density; scattered batches overflow into
+        # the per-row fallback instead of bloating the staging buffer
+        max_spans = min(B, 2 * -(-B // span_rows))
+    max_spans = -(-max_spans // 256) * 256  # pad for the fetch ring
+    slots = slots.astype(jnp.int32)
+    fetch_ids, idx_orig, overflow = _span_plan(slots, span_rows, max_spans)
+
+    def span_branch(_):
+        fetched = _host_fetch_chunks(
+            flat, fetch_ids, span_rows * dim, 256, n_inflight
+        )
+        f2 = fetched.reshape(max_spans * span_rows, dim)
+        return jnp.take(f2, idx_orig, axis=0, mode="clip")
+
+    def row_branch(_):
+        return host_gather_rows(
+            flat, slots, dim=dim, id_block=id_block, n_inflight=n_inflight
+        )
+
+    return lax.cond(overflow, row_branch, span_branch, None)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dim", "id_block", "n_inflight"),
