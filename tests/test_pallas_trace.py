@@ -242,3 +242,28 @@ class TestHostSpanPlan:
         out, overflow, table = self._emulate(slots, n_rows, dim, span_rows, 256)
         assert not overflow
         np.testing.assert_array_equal(out, table[slots])
+
+
+def test_weighted_block_ladder_traces_tpu_path():
+    """The TPU weighted sampler (block ladder + single-shot 2-block fast
+    path under lax.cond) traces end-to-end off-hardware."""
+    from unittest import mock
+
+    from wholegraph_tpu.ops.sampling import _sample_positions_weighted
+
+    B, K = 512, 15
+    start = _aval((B,), jnp.int32)
+    deg = _aval((B,), jnp.int32)
+    centers = _aval((B,), jnp.int32)
+    weights = _aval((200_000,), jnp.float32)
+
+    def f(start, deg, centers, weights):
+        return _sample_positions_weighted(
+            start, deg, K, 7, centers, 0, weights, 65536
+        )
+
+    with mock.patch(
+        "wholegraph_tpu.ops.sampling.jax.default_backend", return_value="tpu"
+    ):
+        pos, mask = jax.eval_shape(f, start, deg, centers, weights)
+    assert pos.shape == (B, K) and mask.shape == (B, K)

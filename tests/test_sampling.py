@@ -201,3 +201,55 @@ def test_sample_under_jit():
     n1, m1 = f(centers)
     h_nbrs, h_mask, _ = hs.sample_uniform_host(row_ptr, col, np.arange(32), 5, seed=1)
     np.testing.assert_array_equal(np.asarray(m1), h_mask)
+
+
+def test_weighted_block_paths_bitequal_element_path_cpu():
+    """Run the TPU block ladder AND its single-shot 2-block fast path on CPU
+    by stubbing the pallas block fetch with its jnp.take equivalent: both
+    must select bit-identical (positions, mask) to the element-fetch ladder
+    (the host-replayable reference path)."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.gather_pallas as gp
+    from wholegraph_tpu.ops.sampling import _sample_positions_weighted
+
+    rs = np.random.RandomState(17)
+    n, K = 4000, 9
+    deg_np = rs.randint(1, 60, n).astype(np.int32)  # low-degree: fast path
+    row_ptr = np.concatenate([[0], np.cumsum(deg_np)]).astype(np.int32)
+    E = int(row_ptr[-1])
+    weights = jnp.asarray(rs.rand(E).astype(np.float32) + 0.05)
+    B = 512
+    centers = jnp.asarray(rs.randint(0, n, B).astype(np.int32))
+    start = jnp.asarray(row_ptr[:-1])[centers]
+    deg = jnp.asarray(deg_np)[centers]
+
+    ref_pos, ref_mask = _sample_positions_weighted(
+        start, deg, K, 3, centers, 1, weights, 4096
+    )
+
+    def fake_gather3(table, ids, **kw):
+        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+        return out.reshape(out.shape[0], *([1] * (3 - out.ndim)), -1) if out.ndim < 3 else out
+
+    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch(
+             "wholegraph_tpu.ops.sampling.jax.default_backend",
+             return_value="tpu",
+         ):
+        # low-degree batch: exercises the single-shot 2-block branch
+        pos_fast, mask_fast = _sample_positions_weighted(
+            start, deg, K, 3, centers, 1, weights, 4096
+        )
+        # force at least one center past the 2-block span: ladder branch
+        deg_hi = deg.at[0].set(jnp.int32(700))
+        pos_l, mask_l = _sample_positions_weighted(
+            start, deg_hi, K, 3, centers, 1, weights, 4096
+        )
+    np.testing.assert_array_equal(np.asarray(mask_fast), np.asarray(ref_mask))
+    np.testing.assert_array_equal(np.asarray(pos_fast), np.asarray(ref_pos))
+    # ladder run: centers 1.. unchanged must match the reference exactly
+    np.testing.assert_array_equal(
+        np.asarray(mask_l)[1:], np.asarray(ref_mask)[1:]
+    )
+    np.testing.assert_array_equal(np.asarray(pos_l)[1:], np.asarray(ref_pos)[1:])

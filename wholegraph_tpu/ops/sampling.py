@@ -258,7 +258,52 @@ def _weighted_block_ladder(
 
     init = (jnp.full((B, K), neg_inf, jnp.float32), jnp.zeros((B, K), jnp.int32))
     needed = jnp.max(-(-(s_lane + deg) // span))
-    best_keys, best_pos = _ladder_run(body, init, total_iters, needed)
+
+    def ladder_path(_):
+        return _ladder_run(body, init, total_iters, needed)
+
+    def single_shot_2blk(_):
+        """Low-degree fast path: when the whole batch's adjacencies fit in
+        each center's 2 enclosing 128-lane blocks (max(s_lane + deg) <=
+        256 — the common GNN regime: actual degrees far below the declared
+        max), fetch HALF the blocks, compute keys on [B, 256] instead of
+        [B, 512], and take the top-K in ONE approx_max_k with positions
+        recovered arithmetically — no running-merge carry at all.  The key
+        per (center, offset) is the same hash as the ladder's, so the
+        selected set is bit-equal (same multiset into the same exact
+        top-K)."""
+        span2 = 2 * 128
+        bids = blk0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
+        fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+        pad_m = -fl.shape[0] % 1024
+        if pad_m:
+            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+        lanes = _gather_rows_pallas3_impl(w2, fl)[: B * 2].reshape(B, span2)
+        offs = jnp.arange(span2, dtype=jnp.int32)[None, :] - s_lane[:, None]
+        valid = (offs >= 0) & (offs < deg[:, None])
+        offs_c = jnp.where(valid, offs, 0)
+        u = rng.rand_uniform(
+            seed,
+            jnp.broadcast_to(centers[:, None], (B, span2)),
+            hop * _HOP_STRIDE + offs_c,
+        )
+        key = jnp.where(
+            valid & (lanes > 0),
+            jnp.log(jnp.maximum(u, 1e-20)) / lanes,
+            neg_inf,
+        )
+        topk, topi = lax.approx_max_k(
+            key, K, recall_target=1.0, aggregate_to_topk=True
+        )
+        return topk, topi.astype(jnp.int32) - s_lane[:, None]
+
+    if K <= 2 * 128:
+        best_keys, best_pos = lax.cond(
+            jnp.max(s_lane + deg) <= 2 * 128, single_shot_2blk, ladder_path,
+            None,
+        )
+    else:
+        best_keys, best_pos = ladder_path(None)
     slots = jnp.arange(K, dtype=jnp.int32)[None, :]
     mask = (slots < jnp.minimum(deg, K)[:, None]) & (best_keys > neg_inf)
     return jnp.where(mask, best_pos, 0), mask
