@@ -283,6 +283,39 @@ def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
     return batch * K / dt, dt
 
 
+def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
+    """Full-graph SpMM over a LOCALITY-ORDERED CSR through the dense-tile
+    MXU kernel (ops/spmm.py spmm_tiled): per destination tile, the whole
+    aggregation is two matmuls (one-hot adjacency build + window slab),
+    sidestepping the ~8 ns/edge DMA-descriptor floor that caps the random-
+    edge padded path (see DESIGN.md negative record)."""
+    import numpy as np
+
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm_tiled
+
+    rs = np.random.RandomState(0)
+    counts = rs.randint(max(deg // 2, 1), deg * 2, n)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, int(row_ptr[-1]))
+    ).clip(0, n - 1).astype(np.int32)
+    E = int(row_ptr[-1])
+    window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=512)
+    rp_d, col_d = jnp.asarray(row_ptr), jnp.asarray(col)
+    x = jax.jit(lambda: jnp.ones((n, dim), jnp.float32))()
+
+    def step(i, rp_d, col_d, x):
+        out = spmm_tiled(
+            rp_d, col_d, x * (1.0 + i * 0.0), window=window,
+            edge_cap=edge_cap, tile=512, reduce="mean",
+        )
+        return out[0, 0]
+
+    dt = measure_median(step, iters, rp_d, col_d, x)
+    return E / dt, dt
+
+
 def bench_scaling(n_rows=500_000, dim=128, batch_per_dev=1 << 14, iters=6):
     """Weak-scaling efficiency of the distributed gather: edges-of-work/s on
     the full mesh vs world * single-device rate (the BASELINE >=80% target;
@@ -327,8 +360,8 @@ def main():
         default="gather_sorted",
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
-            "sampling", "weighted_sampling", "spmm", "scaling", "host_gather",
-            "host_gather_sorted",
+            "sampling", "weighted_sampling", "spmm", "spmm_clustered",
+            "scaling", "host_gather", "host_gather_sorted",
         ],
         help="default gather_sorted: the production embedding-gather path on "
         "a deduped+sorted batch (what Embedding.gather receives from "
@@ -368,6 +401,17 @@ def main():
         sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
         print(json.dumps({
             "metric": "spmm_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
+    if args.metric == "spmm_clustered":
+        n = 1 << 20 if backend == "tpu" else 1 << 14
+        eps, dt = bench_spmm_clustered(n=n, dim=args.dim, iters=args.iters)
+        sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
+        print(json.dumps({
+            "metric": "spmm_clustered_throughput",
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),

@@ -304,3 +304,91 @@ def test_gcn_degree_mode_true_requires_degrees():
     conv = GCNConv(out_dim=4, degree_mode="true")
     with pytest.raises(AssertionError):
         conv.init(jax.random.PRNGKey(0), x, hop)
+
+
+class TestSpmmTiled:
+    def _clustered_csr(self, n, deg, width, seed):
+        rs = np.random.RandomState(seed)
+        counts = rs.randint(1, deg * 2, n)
+        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        col = np.concatenate([
+            np.clip(i + rs.randint(-width, width + 1, c), 0, n - 1)
+            for i, c in enumerate(counts)
+        ]).astype(np.int32)
+        return row_ptr, col
+
+    def _edge_dst(self, row_ptr):
+        return np.repeat(
+            np.arange(len(row_ptr) - 1), np.diff(row_ptr)
+        ).astype(np.int32)
+
+    @pytest.mark.parametrize("reduce", ["sum", "mean"])
+    def test_matches_segment_spmm_on_clustered(self, reduce):
+        from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm_tiled
+
+        n, D = 2000, 32
+        row_ptr, col = self._clustered_csr(n, 6, 40, seed=50)
+        x = np.random.RandomState(51).randn(n, D).astype(np.float32)
+        window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=256)
+        assert feasible
+        out = np.asarray(spmm_tiled(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(x),
+            window=window, edge_cap=edge_cap, tile=256, reduce=reduce,
+        ))
+        ref = np.asarray(S.spmm(
+            jnp.asarray(col), jnp.asarray(self._edge_dst(row_ptr)),
+            jnp.asarray(x), n, reduce,
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_weighted_sum_matches(self):
+        from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm_tiled
+
+        n, D = 1024, 16
+        row_ptr, col = self._clustered_csr(n, 5, 30, seed=52)
+        E = int(row_ptr[-1])
+        rs = np.random.RandomState(53)
+        x = rs.randn(n, D).astype(np.float32)
+        w = rs.rand(E).astype(np.float32)
+        window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=256)
+        out = np.asarray(spmm_tiled(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(x),
+            window=window, edge_cap=edge_cap, tile=256, edge_weight=jnp.asarray(w),
+        ))
+        ref = np.asarray(S.spmm(
+            jnp.asarray(col), jnp.asarray(self._edge_dst(row_ptr)),
+            jnp.asarray(x), n, "sum", edge_weight=jnp.asarray(w),
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_bad_plan_falls_back_exactly(self):
+        """Random (non-clustered) cols with an undersized window: the
+        dropped-edge check must route to the exact segment-sum path."""
+        from wholegraph_tpu.ops.spmm import spmm_tiled
+
+        n, D = 1024, 16
+        rs = np.random.RandomState(54)
+        counts = rs.randint(1, 8, n)
+        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        col = rs.randint(0, n, int(row_ptr[-1])).astype(np.int32)
+        x = rs.randn(n, D).astype(np.float32)
+        out = np.asarray(spmm_tiled(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(x),
+            window=128, edge_cap=2048, tile=256,
+        ))
+        ref = np.asarray(S.spmm(
+            jnp.asarray(col), jnp.asarray(self._edge_dst(row_ptr)),
+            jnp.asarray(x), n, "sum",
+        ))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_plan_flags_random_graph_infeasible(self):
+        from wholegraph_tpu.ops.spmm import plan_spmm_tiles
+
+        rs = np.random.RandomState(55)
+        n = 20_000
+        counts = rs.randint(1, 8, n)
+        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        col = rs.randint(0, n, int(row_ptr[-1])).astype(np.int32)
+        _, _, feasible = plan_spmm_tiles(row_ptr, col, tile=512)
+        assert not feasible

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 Array = jax.Array
 
@@ -169,3 +170,177 @@ def edge_softmax(
         e, edge_dst, num_segments=num_dst, indices_are_sorted=indices_are_sorted
     )
     return e / jnp.maximum(jnp.take(s, edge_dst, mode="clip"), 1e-16)
+
+
+# ---------------------------------------------------------------------------
+# Dense-tile MXU SpMM — locality-ordered (clustered) graphs
+# ---------------------------------------------------------------------------
+#
+# The padded gather+reduce above is DESCRIPTOR-bound: every edge moves one
+# row through an independent ~8 ns DMA, capping any random-edge SpMM at
+# ~125 Medges/s on v5e regardless of dtype or fusion (measured ladder in
+# docs/DESIGN.md; every fused VMEM-accumulator variant measured slower).
+# When the graph is LOCALITY-ORDERED (METIS/RCM/community-clustered vertex
+# ids — the standard production layout for full-graph passes), a tile of
+# consecutive destinations references a narrow source window, and the whole
+# aggregation becomes two small matmuls per tile on the MXU:
+#
+#   A[t]  = onehot_dst^T @ diag(w) @ onehot_src      [T, W] adjacency tile
+#   out_t = A[t] @ x[w0 : w0+W]                      window slab, contiguous
+#
+# Both one-hots are iota compares (VPU) and both matmuls run on the MXU, so
+# per-edge cost is amortized compare+multiply lanes instead of a DMA
+# descriptor: for T=512, W=1024, avg deg 16 that is ~500x more arithmetic
+# lanes per edge than the MXU has to spare vs the 8 ns descriptor floor.
+# Exactness: counts/weights accumulate in f32 via preferred_element_type;
+# summation order differs from segment_sum (tolerance tests).
+#
+# Reference analog: cuGraph-Ops' CSR-tile agg kernels (sage_conv.py:73-95
+# delegate); the reference also only wins when locality exists.
+
+
+def plan_spmm_tiles(row_ptr, col, tile: int = 512):
+    """Host-side plan: (window, edge_cap, feasible) for :func:`spmm_tiled`.
+
+    window = max source span of any destination tile (rounded up to 128),
+    edge_cap = max edges in any tile.  feasible=False when the graph has no
+    usable locality (window ~ num_src) — callers should then use
+    :func:`spmm` / :func:`padded_reduce`."""
+    import numpy as np
+
+    rp = np.asarray(row_ptr)
+    c = np.asarray(col)
+    n = rp.shape[0] - 1
+    nt = -(-n // tile)
+    window = 128
+    edge_cap = 1
+    for t in range(nt):
+        e0, e1 = rp[min(t * tile, n)], rp[min((t + 1) * tile, n)]
+        edge_cap = max(edge_cap, int(e1 - e0))
+        if e1 > e0:
+            span = int(c[e0:e1].max()) - int(c[e0:e1].min()) + 1
+            window = max(window, span)
+    window = -(-window // 128) * 128
+    edge_cap = -(-edge_cap // 128) * 128
+    n_src = int(c.max()) + 1 if len(c) else 1
+    feasible = window <= max(2048, n_src // 4)
+    return window, edge_cap, feasible
+
+
+def spmm_tiled(
+    row_ptr: Array,
+    col: Array,
+    x: Array,
+    *,
+    window: int,
+    edge_cap: int,
+    tile: int = 512,
+    reduce: str = "sum",
+    edge_weight: Optional[Array] = None,
+) -> Array:
+    """MXU dense-tile SpMM over a locality-ordered CSR (see block comment).
+
+    out[d] = reduce_{e in row d} (w_e *) x[col[e]].  EXACT for any graph:
+    a lax.cond falls back to the segment-sum :func:`spmm` whenever some
+    tile's source span exceeds ``window`` or its edge count exceeds
+    ``edge_cap`` (use :func:`plan_spmm_tiles` to size both).
+    """
+    n = row_ptr.shape[0] - 1
+    E = col.shape[0]
+    D = x.shape[1]
+    T = tile
+    nt = -(-n // T)
+    n_pad = nt * T
+    rp = jnp.concatenate(
+        [row_ptr.astype(jnp.int32),
+         jnp.full((n_pad - n,), row_ptr[-1], jnp.int32)]
+    ) if n_pad != n else row_ptr.astype(jnp.int32)
+    colp = jnp.concatenate([col.astype(jnp.int32), jnp.zeros((edge_cap,), jnp.int32)])
+    wp = None
+    if edge_weight is not None:
+        wp = jnp.concatenate(
+            [edge_weight.astype(jnp.float32), jnp.zeros((edge_cap,), jnp.float32)]
+        )
+    xp = jnp.concatenate(
+        [x, jnp.zeros((window, D), x.dtype)]
+    )  # slab reads never clip
+
+    # per-tile edge ranges; edge_cap feasibility is checkable from rp alone,
+    # window feasibility falls out of the tile pass itself (out-of-window
+    # edges are counted as `dropped` and trigger the exact fallback)
+    starts = rp[jnp.arange(nt) * T]
+    ends = rp[jnp.minimum(jnp.arange(nt) * T + T, n_pad)]
+    counts = ends - starts
+    ok_cap = jnp.max(counts) <= edge_cap
+
+    def tiles_path(_):
+        iot_e = jnp.arange(edge_cap, dtype=jnp.int32)
+
+        def body(dropped, t):
+            e0, ne = starts[t], counts[t]
+            emask = iot_e < ne
+            cols = lax.dynamic_slice(colp, (e0,), (edge_cap,))
+            w0 = jnp.clip(
+                jnp.min(jnp.where(emask, cols, 2**30)), 0, x.shape[0]
+            )
+            loc = jnp.where(emask, cols - w0, -1)
+            in_win = emask & (loc >= 0) & (loc < window)
+            dropped = dropped + ne - jnp.sum(in_win)
+            # dst row of each edge within the tile: CSR order => edge j
+            # belongs to the row whose ptr range contains e0 + j
+            rpt = lax.dynamic_slice(rp, (t * T,), (T + 1,)) - e0
+            dstl = (
+                jnp.searchsorted(rpt, iot_e, side="right").astype(jnp.int32) - 1
+            )
+            dstl = jnp.where(in_win, dstl, T)  # park dropped edges off-tile
+            vals = jnp.ones((edge_cap,), jnp.float32)
+            if wp is not None:
+                vals = lax.dynamic_slice(wp, (e0,), (edge_cap,))
+            vals = jnp.where(in_win, vals, 0.0)
+            # one-hots on iota compares; both contractions ride the MXU
+            oh_dst = (
+                dstl[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)  # [E, T]
+            oh_src = (
+                loc[:, None] == jnp.arange(window, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)  # [E, W]
+            A = lax.dot_general(
+                oh_dst * vals[:, None], oh_src,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, W]
+            xw = lax.dynamic_slice(xp, (w0, 0), (window, D)).astype(jnp.float32)
+            out_t = lax.dot_general(
+                A, xw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if reduce == "mean":
+                # unweighted edge counts per dst (matches spmm's mean)
+                cnt = jax.ops.segment_sum(
+                    in_win.astype(jnp.float32), jnp.minimum(dstl, T),
+                    num_segments=T + 1, indices_are_sorted=True,
+                )[:T]
+                out_t = out_t / jnp.maximum(cnt, 1.0)[:, None]
+            return dropped, out_t.astype(x.dtype)
+
+        dropped, outs = lax.scan(body, jnp.int32(0), jnp.arange(nt))
+        out = outs.reshape(n_pad, D)[:n]
+        # any out-of-window edge => the plan was wrong for this graph:
+        # recompute exactly (pays both passes, but only on a bad plan)
+        return lax.cond(dropped == 0, lambda _: out, fallback, None)
+
+    def fallback(_):
+        edge_dst = (
+            jnp.searchsorted(
+                rp, jnp.arange(E, dtype=jnp.int32), side="right"
+            ).astype(jnp.int32)
+            - 1
+        )
+        return spmm(
+            col.astype(jnp.int32), edge_dst, x, n, reduce,
+            edge_weight=edge_weight, indices_are_sorted=True,
+        )
+
+    if reduce not in ("sum", "mean"):
+        return fallback(None)
+    return lax.cond(ok_cap, tiles_path, fallback, None)
