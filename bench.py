@@ -374,7 +374,21 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler trace of the measured "
+                         "region into this directory (TensorBoard/xprof "
+                         "format; SURVEY §5 tracing parity)")
     args = ap.parse_args()
+    if args.trace:
+        import contextlib
+
+        from wholegraph_tpu.utils.perf import trace as _trace
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(_trace(args.trace))
+        import atexit
+
+        atexit.register(stack.close)
 
     backend = jax.default_backend()
     if backend == "cpu":

@@ -370,7 +370,7 @@ _WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
 
 def _window_gather_kernel(
     w0s_ref, starts_ref, ids_ref, table_ref, out_ref, win, sems,
-    *, tile, wsub, group, window, nt,
+    *, tile, wsub, group, window, nt, pack_planes=False,
 ):
     t = pl.program_id(0)
 
@@ -435,11 +435,31 @@ def _window_gather_kernel(
             oh8 = match.astype(jnp.int8)
             hit = match.any(axis=1, keepdims=True)  # [tile, 1]
             w_i32 = jax.lax.bitcast_convert_type(wslice, jnp.int32)
-            acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.int32)
-            for k in range(4):
-                plane = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
-                sel = idot(oh8, plane) + jnp.where(hit, 128, 0)
-                acc = acc | ((sel & 0xFF) << (8 * k))
+            D_out = out_ref.shape[-1]
+            if pack_planes:
+                # round-3 variant: the 4 byte planes concatenated along the
+                # LANE axis => ONE [tile, wsub] @ [wsub, 4*D] int8 matmul
+                # instead of 4 — same flops, 4x larger N dim, one weight
+                # stream per sub-tile (the select is weight-reload-bound at
+                # ~25% MXU util; scripts/exp_window_packed.py A/Bs this)
+                planes = jnp.concatenate(
+                    [
+                        (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+                        for k in range(4)
+                    ],
+                    axis=1,
+                )  # [wsub, 4*D]
+                sel_all = idot(oh8, planes) + jnp.where(hit, 128, 0)
+                acc = jnp.zeros((tile, D_out), jnp.int32)
+                for k in range(4):
+                    sel = sel_all[:, k * D_out:(k + 1) * D_out]
+                    acc = acc | ((sel & 0xFF) << (8 * k))
+            else:
+                acc = jnp.zeros((tile, D_out), jnp.int32)
+                for k in range(4):
+                    plane = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+                    sel = idot(oh8, plane) + jnp.where(hit, 128, 0)
+                    acc = acc | ((sel & 0xFF) << (8 * k))
             out_ref[base:base + tile, :] = jax.lax.bitcast_convert_type(
                 acc, jnp.float32
             )
@@ -458,10 +478,12 @@ def _window_starts(padded_ids: Array, n_rows: int, tile, window, group, wsub):
     return w0s.astype(jnp.int32), starts.reshape(-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "group", "wsub"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "window", "group", "wsub", "pack_planes")
+)
 def gather_rows_window(
     table: Array, ids: Array, *, tile: int = 256, window: int = 1024,
-    group: int = 1, wsub: int | None = None,
+    group: int = 1, wsub: int | None = None, pack_planes: bool = False,
 ) -> Array:
     """out[i] = table[ids[i]] for SORTED ids via windowed multi-row DMAs.
 
@@ -495,7 +517,7 @@ def gather_rows_window(
     out = pl.pallas_call(
         functools.partial(
             _window_gather_kernel, tile=tile, wsub=wsub, group=group,
-            window=window, nt=nt,
+            window=window, nt=nt, pack_planes=pack_planes,
         ),
         grid=(nt,),
         in_specs=[
