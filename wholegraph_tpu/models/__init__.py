@@ -1,5 +1,5 @@
 from .conv import FullGraph, GATConv, GCNConv, RGCNConv, SAGEConv
-from .gnn import HomoGNN, accuracy, cross_entropy_loss, make_conv, resolve_framework
+from .gnn import HomoGNN, TypedProjection, accuracy, cross_entropy_loss, make_conv, resolve_framework
 
 __all__ = [
     "FullGraph",
@@ -8,6 +8,7 @@ __all__ = [
     "RGCNConv",
     "SAGEConv",
     "HomoGNN",
+    "TypedProjection",
     "accuracy",
     "cross_entropy_loss",
     "make_conv",

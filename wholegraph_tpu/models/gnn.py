@@ -139,3 +139,24 @@ def accuracy(logits: Array, labels: Array, mask: Optional[Array] = None):
         return jnp.mean(correct)
     m = mask.astype(jnp.float32)
     return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1)
+
+
+class TypedProjection(nn.Module):
+    """Project per-type feature rows (different widths) to one common
+    width: out = sum_t mask_t * (rows_t @ W_t + b_t).  The hetero-node
+    companion of HeteroFeatureStore.gather_typed — model-side trainable
+    reconciliation of typed feature spaces (MAG240M-style)."""
+
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, rows_by_type: dict, masks_by_type: dict) -> Array:
+        out = None
+        for name in sorted(rows_by_type):
+            h = nn.Dense(self.out_dim, use_bias=self.use_bias, name=f"proj_{name}")(
+                rows_by_type[name]
+            )
+            h = jnp.where(masks_by_type[name][:, None], h, 0)
+            out = h if out is None else out + h
+        return out
