@@ -69,3 +69,28 @@ def test_smoke_example_trainable_embedding_accuracy():
     )
     acc = _test_accuracy(out)
     assert acc >= 75.0, f"trainable-embedding accuracy regressed: {acc}%\n{out}"
+
+
+@pytest.mark.slow
+def test_link_prediction_example_accuracy_pinned():
+    """RGCN link prediction (encoder sample->gather->RGCN, DistMult
+    decoder, negative sampling): pairwise-rank accuracy through the full
+    example must clear 75% (measured 88.6%; random is 50%)."""
+    example = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "link_prediction.py"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    proc = subprocess.run(
+        [sys.executable, example, "--epochs", "2", "--seed", "0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    m = re.search(r"\[TEST\] pairwise-rank acc ([\d.]+)%", proc.stdout)
+    assert m, proc.stdout
+    acc = float(m.group(1))
+    assert acc >= 75.0, f"link-prediction accuracy regressed: {acc}%\n{proc.stdout}"
