@@ -253,3 +253,44 @@ def test_weighted_block_paths_bitequal_element_path_cpu():
         np.asarray(mask_l)[1:], np.asarray(ref_mask)[1:]
     )
     np.testing.assert_array_equal(np.asarray(pos_l)[1:], np.asarray(ref_pos)[1:])
+
+
+def test_weighted_bucketed_dispatch_bitequal_cpu():
+    """B>=4096 routes through the degree-bucketed dispatch (4 buckets,
+    per-bucket ladder levels): results must stay bit-identical to the
+    element-fetch reference ladder on a mixed-degree batch."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.gather_pallas as gp
+    from wholegraph_tpu.ops.sampling import _sample_positions_weighted
+
+    rs = np.random.RandomState(23)
+    n, K, B = 6000, 7, 4096
+    # mixed degrees: mostly tiny, a few huge (the skew case)
+    deg_np = rs.randint(1, 24, n).astype(np.int32)
+    deg_np[rs.choice(n, 25, replace=False)] = rs.randint(300, 900, 25)
+    row_ptr = np.concatenate([[0], np.cumsum(deg_np)]).astype(np.int32)
+    E = int(row_ptr[-1])
+    weights = jnp.asarray(rs.rand(E).astype(np.float32) + 0.05)
+    centers = jnp.asarray(rs.randint(0, n, B).astype(np.int32))
+    start = jnp.asarray(row_ptr[:-1])[centers]
+    deg = jnp.asarray(deg_np)[centers]
+
+    ref_pos, ref_mask = _sample_positions_weighted(
+        start, deg, K, 5, centers, 2, weights, 2048
+    )
+
+    def fake_gather3(table, ids, **kw):
+        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+        return out[:, None, :] if out.ndim == 2 else out
+
+    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch(
+             "wholegraph_tpu.ops.sampling.jax.default_backend",
+             return_value="tpu",
+         ):
+        pos_b, mask_b = _sample_positions_weighted(
+            start, deg, K, 5, centers, 2, weights, 2048
+        )
+    np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(ref_mask))
+    np.testing.assert_array_equal(np.asarray(pos_b), np.asarray(ref_pos))

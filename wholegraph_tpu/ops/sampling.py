@@ -341,6 +341,34 @@ def _sample_positions_weighted(
         and getattr(weights, "ndim", 0) == 1
         and B >= 256
     ):
+        # DEGREE-BUCKETED dispatch (round 3): the ladder's level selection
+        # is batch-global — one high-degree center used to force every
+        # center through all iterations.  Sort centers by their span need
+        # (s_lane + deg) into G equal buckets; each bucket's
+        # single-shot/ladder cond and ladder level then follow the
+        # bucket's OWN max.  Keys are per (center, offset), so bucketing
+        # cannot change any center's selected set (bit-equal; CPU-proven).
+        G = 4 if B % 4 == 0 and B >= 4096 else 1
+        if G > 1:
+            need = (start & 127) + deg
+            order = jnp.argsort(need)
+            Bg = B // G
+            pos_parts, mask_parts = [], []
+            for g in range(G):
+                sl = order[g * Bg:(g + 1) * Bg]
+                p, m = _weighted_block_ladder(
+                    start[sl], deg[sl], K, seed, centers[sl], hop,
+                    weights, max_degree,
+                )
+                pos_parts.append(p)
+                mask_parts.append(m)
+            pos = jnp.zeros((B, K), jnp.int32).at[order].set(
+                jnp.concatenate(pos_parts)
+            )
+            mask = jnp.zeros((B, K), bool).at[order].set(
+                jnp.concatenate(mask_parts)
+            )
+            return pos, mask
         return _weighted_block_ladder(
             start, deg, K, seed, centers, hop, weights, max_degree
         )
