@@ -112,10 +112,19 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         for b in base
     ]
 
+    on_tpu = jax.default_backend() == "tpu"
+
     def step(i, tab):
         ids = jax.lax.switch(i % len(ids_list), [lambda x=x: x for x in ids_list])
         out = local_take_sorted(tab, ids, density=batch / span)
-        return out[0, 0]
+        if on_tpu:
+            # the pallas kernels are side-effectful — the full gather always
+            # executes; a scalar probe adds zero overhead to the headline
+            return out[0, 0]
+        # CPU smoke: jnp.take has no side effects, so XLA slices the whole
+        # batch away through out[0,0] (measured: the chain collapses to the
+        # 1e-9 floor => absurd GB/s); consume a batch-spanning column
+        return out[:, 0].sum()
 
     dt = measure_median(step, iters, table)
     return batch * dim * 4 / dt / 1e9, dt
