@@ -392,3 +392,43 @@ class TestSpmmTiled:
         col = rs.randint(0, n, int(row_ptr[-1])).astype(np.int32)
         _, _, feasible = plan_spmm_tiles(row_ptr, col, tile=512)
         assert not feasible
+
+
+def test_spmm_sharded_matches_replicated():
+    """Pod-scale full-graph SpMM (row-sharded features + accumulate-scatter
+    output) == the replicated segment-sum SpMM, including skewed dst ids."""
+    import wholegraph_tpu as wg
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from wholegraph_tpu.memory.sharded_table import ShardedTable
+    from wholegraph_tpu.ops.spmm import sddmm_sharded, spmm_sharded
+
+    mesh = wg.parallel.get_global_mesh()
+    rs = np.random.RandomState(60)
+    n, D, E = 1024, 16, 4096
+    x_np = rs.randn(n, D).astype(np.float32)
+    src = rs.randint(0, n, E).astype(np.int32)
+    dst = np.sort(rs.randint(0, n, E)).astype(np.int32)
+    dst[: E // 4] = 3  # skew: one hot destination
+    dst = np.sort(dst)
+    w = rs.rand(E).astype(np.float32)
+
+    x_tab = ShardedTable.from_array(mesh, x_np)
+    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("data")))
+    for reduce in ("sum", "mean"):
+        out = spmm_sharded(
+            put(src), put(dst), x_tab, n, reduce,
+            edge_weight=put(w) if reduce == "sum" else None,
+        )
+        ref = np.asarray(S.spmm(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x_np), n, reduce,
+            edge_weight=jnp.asarray(w) if reduce == "sum" else None,
+        ))
+        np.testing.assert_allclose(
+            out.to_array(), ref, rtol=2e-4, atol=2e-4, err_msg=reduce
+        )
+
+    e = np.asarray(sddmm_sharded(put(src), put(dst), x_tab, x_tab))
+    ref_e = np.asarray(S.sddmm(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x_np), jnp.asarray(x_np)
+    ))
+    np.testing.assert_allclose(e, ref_e, rtol=1e-4, atol=1e-4)
