@@ -43,6 +43,10 @@ def main():
     ap = make_parser("node classification (wholegraph_tpu)")
     ap.add_argument("--full-graph-eval", action="store_true",
                     help="evaluate with exact full-graph message passing")
+    ap.add_argument("--sharded-eval", action="store_true",
+                    help="full-graph eval with row-sharded features/"
+                         "activations/logits (pod-scale: nothing is ever "
+                         "replicated; sage/gcn)")
     ap.add_argument("--scan-epoch", action="store_true",
                     help="run each whole epoch inside one jit via lax.scan "
                          "(amortises per-step dispatch; TPU-native idiom)")
@@ -247,8 +251,21 @@ def main():
         )
         return params, estate, opt_state, cache, losses
 
-    full_graph = bool(args.full_graph_eval)
-    if args.full_graph_eval:
+    full_graph = bool(args.full_graph_eval) or bool(args.sharded_eval)
+    if args.sharded_eval:
+        from wholegraph_tpu.models.sharded_eval import eval_full_graph_sharded
+
+        @jax.jit
+        def _eval_metrics(logits, labels):
+            return cross_entropy_loss(logits, labels), accuracy(logits, labels)
+
+        def eval_step(params, estate, centers, labels):
+            # features/activations/logits stay sharded tables end-to-end
+            x_tab = emb.as_sharded_table(estate)
+            logits_tab = eval_full_graph_sharded(model, params, g, x_tab)
+            logits = logits_tab.gather(centers)  # only the batch replicates
+            return _eval_metrics(logits, labels)
+    elif args.full_graph_eval:
         fg = g.to_full_graph()
         n_pad = -ds.node_count % world
         all_ids = put(

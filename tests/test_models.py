@@ -432,3 +432,37 @@ def test_spmm_sharded_matches_replicated():
         jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x_np), jnp.asarray(x_np)
     ))
     np.testing.assert_allclose(e, ref_e, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("model_type", ["sage", "gcn"])
+def test_sharded_full_graph_eval_matches_replicated(model_type):
+    """Pod-scale eval (features/activations/logits row-sharded, message
+    passing via spmm_sharded) == the replicated full-graph apply."""
+    import wholegraph_tpu as wg
+    from wholegraph_tpu.memory.sharded_table import ShardedTable
+    from wholegraph_tpu.models.sharded_eval import eval_full_graph_sharded
+
+    mesh = wg.parallel.get_global_mesh()
+    n, D, C = 300, 16, 5
+    row_ptr, col = hs.random_csr(n, avg_deg=7, seed=70)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=int(row_ptr[-1]),
+        max_degree=int(np.diff(row_ptr).max()),
+    )
+    rs = np.random.RandomState(71)
+    feats = rs.randn(n, D).astype(np.float32)
+    model = HomoGNN(
+        model_type=model_type, hidden_dim=16, num_classes=C, num_layers=2,
+        dropout=0.0,
+    )
+    fg = g.to_full_graph()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), graph=fg)
+    ref = np.asarray(model.apply(params, jnp.asarray(feats), graph=fg))
+
+    x_tab = ShardedTable.from_array(mesh, feats)
+    out_tab = eval_full_graph_sharded(model, params, g, x_tab)
+    got = out_tab.to_array()[:n]
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
