@@ -1,0 +1,354 @@
+"""Edge-partitioned graphs with halo exchange — the pod-scale SpMM layout.
+
+The BASELINE north star calls for *edge-partitioned* multi-host graphs with
+boundary (halo) exchange.  :func:`ops.spmm.spmm_sharded` already partitions
+edges across devices, but it pays wire cost **per edge**: E gathered source
+rows + E scattered messages ride the all-to-all every layer.  This module
+precomputes, per device, (a) the edges whose DESTINATION the device owns and
+(b) the unique REMOTE source nodes those edges touch (the halo).  A layer
+then costs exactly one distributed gather of ``sum_d |halo_d|`` rows; the
+aggregation itself is device-local (take + sorted segment-sum — every edge
+of a destination lives with its owner, so local partial sums are the full
+sums and NO output scatter collective is needed).
+
+For locality-partitioned graphs (METIS/community-ordered ids — the standard
+production layout) ``|halo| << E``: the measured synthetic-community graph in
+the tests moves ~20x fewer rows than the per-edge path.  For adversarial
+random graphs the halo degenerates to ~min(E, n) rows per device and the
+per-edge path may win; :func:`halo_stats` reports both volumes so callers
+can choose.
+
+Reference context: WholeGraph keeps the graph row-sharded in WholeMemory and
+pays per-edge NCCL gathers (reference: cpp/src/wholememory_ops/gather_op_impl_nccl.cu:34-185
+drives every feature fetch; cpp/src/wholegraph_ops distributed sampling
+likewise fetches per edge).  A halo tier has no reference counterpart — it
+exceeds reference parity for full-graph passes.
+
+All mapping math runs host-side (numpy) at partition time; the runtime path
+is one exact a2a gather + an lru-cached ``jit(shard_map(...))`` local
+aggregate (the eager-API invariant from the dev guide).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..memory.partition import PartitionPlan
+from ..memory.sharded_table import ShardedTable
+from ..ops.gather import axis_size as _axis_size
+from ..utils.error import check_input
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(x, 1) // m) * m
+
+
+def _owner_slot_np(plan: PartitionPlan, ids: np.ndarray):
+    phys = plan.physical_index_np(ids)
+    return phys // plan.capacity, phys % plan.capacity
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PartitionedGraph:
+    """Per-device edge lists in LOCAL index space + per-device halo id lists.
+
+    Physical layouts (all sharded ``P(axis)`` over ``mesh``):
+      src_slot: ``[world*e_cap]`` — per edge, an index into the device-local
+        source space ``concat([own shard slots (capacity), halo rows (h_cap),
+        one zero row])``; padding edges point at the zero row.
+      dst_slot: ``[world*e_cap]`` — per edge, the local slot of its
+        destination (0..capacity); padding edges park at ``capacity`` and are
+        sliced off.  Sorted ascending per device (CSR order is preserved).
+      halo_ids: ``[world*h_cap]`` — per device, the unique remote source
+        node ids it needs each layer; padded with the OOB sentinel ``n``
+        (the exact gather serves OOB as zero rows without exchanging them).
+      edge_weight: optional ``[world*e_cap]`` f32, 0 on padding.
+    """
+
+    src_slot: Array
+    dst_slot: Array
+    halo_ids: Array
+    edge_weight: Optional[Array]
+    plan: PartitionPlan
+    mesh: Mesh
+    axis: str
+    node_count: int
+    edge_count: int
+    e_cap: int
+    h_cap: int
+    halo_rows_total: int  # real (non-pad) halo ids, summed over devices
+
+    def tree_flatten(self):
+        return (self.src_slot, self.dst_slot, self.halo_ids, self.edge_weight), (
+            self.plan, self.mesh, self.axis, self.node_count, self.edge_count,
+            self.e_cap, self.h_cap, self.halo_rows_total,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, *aux)
+
+
+def partition_graph(
+    g,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    plan: Optional[PartitionPlan] = None,
+) -> PartitionedGraph:
+    """Build the halo layout for ``g`` (a :class:`GraphStructure`).
+
+    Each edge ``(src=col[e], dst=row(e))`` goes to the owner of its
+    destination under ``plan`` (which must be the feature table's plan so
+    output shards align with table shards).  Host-side numpy; O(E log E).
+    """
+    world = _axis_size(mesh, axis)
+    n = g.node_count
+    if plan is None:
+        plan = PartitionPlan.equal(n, world)
+    check_input(plan.world == world, "plan world != mesh axis size")
+    check_input(plan.n == n, "plan rows != graph nodes")
+
+    rp = np.asarray(
+        g.row_ptr.to_array() if hasattr(g.row_ptr, "to_array") else g.row_ptr,
+        dtype=np.int64,
+    )
+    col = np.asarray(
+        g.col.to_array() if hasattr(g.col, "to_array") else g.col, dtype=np.int64
+    )
+    w = None
+    if g.edge_weight is not None:
+        w = np.asarray(
+            g.edge_weight.to_array()
+            if hasattr(g.edge_weight, "to_array")
+            else g.edge_weight,
+            dtype=np.float32,
+        )
+    dst = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    dst_own, dst_slot_all = _owner_slot_np(plan, dst)
+    src_own, src_slot_all = _owner_slot_np(plan, col)
+
+    cap = plan.capacity
+    per_src, per_dst, per_halo, per_w = [], [], [], []
+    halo_total = 0
+    for d in range(world):
+        m = dst_own == d
+        s, ds = col[m], dst_slot_all[m]
+        local = src_own[m] == d
+        remote = np.unique(s[~local])
+        halo_total += len(remote)
+        sl = np.where(
+            local,
+            src_slot_all[m],
+            cap + np.searchsorted(remote, s),
+        ).astype(np.int64)
+        per_src.append(sl)
+        per_dst.append(ds)
+        per_halo.append(remote)
+        if w is not None:
+            per_w.append(w[m])
+
+    e_cap = _round_up(max(len(x) for x in per_src), 8)
+    h_cap = _round_up(max(len(h) for h in per_halo), 8)
+    src_buf = np.full((world, e_cap), cap + h_cap, dtype=np.int32)
+    dst_buf = np.full((world, e_cap), cap, dtype=np.int32)
+    halo_buf = np.full((world, h_cap), n, dtype=np.int64)
+    w_buf = np.zeros((world, e_cap), dtype=np.float32) if w is not None else None
+    for d in range(world):
+        k = len(per_src[d])
+        src_buf[d, :k] = per_src[d]
+        dst_buf[d, :k] = per_dst[d]
+        halo_buf[d, : len(per_halo[d])] = per_halo[d]
+        if w_buf is not None:
+            w_buf[d, :k] = per_w[d]
+
+    sh1 = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh1)
+    idt = jnp.int32 if n < 2**31 - 1 else jnp.int64
+    return PartitionedGraph(
+        src_slot=put(src_buf),
+        dst_slot=put(dst_buf),
+        halo_ids=put(halo_buf.astype(idt)),
+        edge_weight=None if w_buf is None else put(w_buf),
+        plan=plan,
+        mesh=mesh,
+        axis=axis,
+        node_count=n,
+        edge_count=int(rp[-1]),
+        e_cap=e_cap,
+        h_cap=h_cap,
+        halo_rows_total=halo_total,
+    )
+
+
+def halo_stats(pg: PartitionedGraph) -> dict:
+    """Wire-volume comparison: rows moved per layer by the halo path vs the
+    per-edge :func:`ops.spmm.spmm_sharded` path (gather E + scatter E)."""
+    return {
+        "halo_rows": pg.halo_rows_total,
+        "per_edge_rows": 2 * pg.edge_count,
+        "savings_x": (2 * pg.edge_count) / max(pg.halo_rows_total, 1),
+        "e_cap": pg.e_cap,
+        "h_cap": pg.h_cap,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _build_halo_agg_fn(mesh, axis, cap, e_cap, h_cap, reduce, weighted):
+    """Local aggregate over (shard, halo block, edge slots): every dst's full
+    in-edge set is device-local, so sorted segment ops produce the exact
+    output shard with no collective."""
+
+    def local(shard, halo, src_slot, dst_slot, wloc):
+        xloc = jnp.concatenate(
+            [shard, halo, jnp.zeros((1, shard.shape[1]), shard.dtype)]
+        )
+        msgs = jnp.take(xloc, src_slot, axis=0)
+        if weighted:
+            msgs = msgs * wloc[:, None]
+        if reduce == "max":
+            out = jax.ops.segment_max(
+                msgs, dst_slot, num_segments=cap + 1, indices_are_sorted=True
+            )[:cap]
+            has = (
+                jax.ops.segment_sum(
+                    jnp.ones((e_cap,), jnp.float32), dst_slot,
+                    num_segments=cap + 1, indices_are_sorted=True,
+                )[:cap]
+                > 0
+            )
+            return jnp.where(has[:, None], out, 0).astype(shard.dtype)
+        out = jax.ops.segment_sum(
+            msgs, dst_slot, num_segments=cap + 1, indices_are_sorted=True
+        )[:cap]
+        if reduce == "mean":
+            cnt = jax.ops.segment_sum(
+                jnp.ones((e_cap,), msgs.dtype), dst_slot,
+                num_segments=cap + 1, indices_are_sorted=True,
+            )[:cap]
+            out = out / jnp.maximum(cnt, 1)[:, None]
+        return out.astype(shard.dtype)
+
+    def body(shard, halo, src_slot, dst_slot, wloc):
+        if not weighted:
+            return local(shard, halo, src_slot, dst_slot, None)
+        return local(shard, halo, src_slot, dst_slot, wloc)
+
+    specs_in = [P(axis, None), P(axis, None), P(axis), P(axis)]
+    if weighted:
+        specs_in.append(P(axis))
+    else:
+        body = functools.partial(body, wloc=None)
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(specs_in),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_degree_fn(mesh, axis, cap, e_cap):
+    def body(dst_slot):
+        return jax.ops.segment_sum(
+            jnp.ones((e_cap, 1), jnp.float32), dst_slot,
+            num_segments=cap + 1, indices_are_sorted=True,
+        )[:cap]
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def degrees(pg: PartitionedGraph) -> ShardedTable:
+    """In-degree of every node as a row-sharded ``[n, 1]`` table — purely
+    local (each device counts its own edges; counts are already complete)."""
+    fn = _build_degree_fn(pg.mesh, pg.axis, pg.plan.capacity, pg.e_cap)
+    return ShardedTable(fn(pg.dst_slot), pg.plan, pg.mesh, pg.axis)
+
+
+def spmm_halo(
+    pg: PartitionedGraph,
+    x_tab: ShardedTable,
+    reduce: str = "sum",
+    *,
+    use_weights: bool = False,
+    capacity_factor: float = 2.0,
+) -> ShardedTable:
+    """out[d] = reduce_{(s,d) in E} (w_e *) x[s], features AND output
+    row-sharded; wire cost = one exact gather of the halo rows only.
+
+    ``x_tab``'s plan must be the plan the graph was partitioned with.
+    """
+    check_input(reduce in ("sum", "mean", "max"), f"unknown reduce {reduce!r}")
+    check_input(
+        x_tab.plan == pg.plan and x_tab.axis == pg.axis,
+        "feature table plan/axis != partition plan (repartition the graph)",
+    )
+    check_input(x_tab.data.ndim == 2, "spmm_halo expects a 2-D [rows, D] table")
+    check_input(not use_weights or pg.edge_weight is not None,
+                "graph was partitioned without edge weights")
+    halo_rows = x_tab.gather(pg.halo_ids, capacity_factor=capacity_factor)
+    fn = _build_halo_agg_fn(
+        pg.mesh, pg.axis, pg.plan.capacity, pg.e_cap, pg.h_cap, reduce,
+        bool(use_weights),
+    )
+    args = (x_tab.data, halo_rows, pg.src_slot, pg.dst_slot)
+    if use_weights:
+        args = args + (pg.edge_weight,)
+    return ShardedTable(fn(*args), pg.plan, pg.mesh, pg.axis)
+
+
+def eval_full_graph_partitioned(
+    model, params, pg: PartitionedGraph, x_tab: ShardedTable
+) -> ShardedTable:
+    """Pod-scale full-graph eval over the halo layout: the
+    :func:`models.sharded_eval.eval_full_graph_sharded` pass with every
+    per-edge gather+scatter replaced by :func:`spmm_halo` (same math, halo
+    wire volume).  Supports the same conv stacks ('sage' mean / 'gcn')."""
+    mt = model.model_type.lower()
+    check_input(mt in ("sage", "gcn"), f"halo eval supports sage|gcn, got {mt}")
+    if mt == "sage":
+        check_input(model.aggregator == "mean", "halo sage eval: mean only")
+    p = params["params"]
+    prefix = "SAGEConv" if mt == "sage" else "GCNConv"
+    x = x_tab
+    if mt == "gcn":
+        deg = degrees(pg)
+        inv = ShardedTable(
+            jax.lax.rsqrt(deg.data + 1.0), deg.plan, pg.mesh, pg.axis
+        )
+    for i in range(model.num_layers):
+        lp = p[f"{prefix}_{i}"]
+        if mt == "sage":
+            agg = spmm_halo(pg, x, "mean")
+            h = jnp.concatenate([x.data, agg.data], axis=-1)
+            h = h @ lp["proj"]["kernel"] + lp["proj"]["bias"]
+        else:
+            h = x.data @ lp["proj"]["kernel"]
+            hx = ShardedTable(h * inv.data, x.plan, pg.mesh, pg.axis)
+            agg = spmm_halo(pg, hx, "sum")
+            h = (agg.data + hx.data) * inv.data
+            if "bias" in lp:
+                h = h + lp["bias"]
+        if i < model.num_layers - 1:
+            h = jax.nn.relu(h)
+        x = ShardedTable(h, x.plan, pg.mesh, pg.axis)
+    return x
