@@ -112,12 +112,15 @@ def _optimizer_step(
             scatter_rows_masked3,
         )
 
-        # id_block=256 (not the ring default 1024): Mosaic fully unrolls
+        # per_step=256 (not the ring default 1024): Mosaic fully unrolls
         # each ring's issue loop, and this program contains 2*(1+n_slots)
         # rings — 6 x 1024 unrolled DMA issues pushed the remote compile
         # past 25 minutes; 6 x 256 compiles like one standard ring at
-        # ~0.15 us/step extra launch overhead.
-        kb = dict(id_block=256, n_inflight=128)
+        # ~0.15 us/step extra launch overhead.  The SMEM id block itself
+        # stays 1024 (Mosaic requires it to match XLA's s32 tile — a 256
+        # block fails layout verification on hardware); the unroll bound
+        # rides the ring's second grid dimension instead.
+        kb = dict(id_block=1024, per_step=256, n_inflight=128)
         idx = take_idx.astype(jnp.int32)
         pad = -R % kb["id_block"]
         if pad:

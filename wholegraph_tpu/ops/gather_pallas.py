@@ -32,7 +32,7 @@ Array = jax.Array
 
 
 def _gather_kernel(
-    ids_ref, table_ref, out_ref, sems, *, id_block: int, n_inflight: int,
+    ids_ref, table_ref, out_ref, sems, *, per_step: int, n_inflight: int,
     ksub: int = 1,
 ):
     """ksub > 1: WIDE-ROW mode — the caller has reviewed the table as
@@ -41,16 +41,24 @@ def _gather_kernel(
     every descriptor in the 1-2KB sweet spot: whole-row slabs past ~2KB
     measured ~70 GB/s on v5e vs 203 at 2KB (docs/DESIGN.md wide-row
     section; reference handles any row size via its alignment dispatch,
-    gather_scatter_func.cuh:211-250)."""
-    nb = pl.program_id(0)
-    base = nb * id_block
-    total = id_block * ksub
+    gather_scatter_func.cuh:211-250).
+
+    Grid is 2-D (num_blocks, nsteps): the ids SMEM block is always the
+    FULL id_block — Mosaic requires the block to equal XLA's 1-D s32 tile
+    T(min(1024, len)), so shrinking the block to bound the unroll fails
+    layout verification on hardware (invisible to CPU trace tests) — and
+    each grid sub-step issues only ``per_step`` of the block's
+    id_block*ksub DMAs to bound the trace-time unroll."""
+    id_block = ids_ref.shape[0]
+    base = pl.program_id(0) * id_block
+    off = pl.program_id(1) * per_step
 
     def dma(j):
+        g = off + j
         if ksub == 1:
-            src, dst = ids_ref[j], base + j
+            src, dst = ids_ref[g], base + g
         else:
-            r, s = j // ksub, j % ksub
+            r, s = g // ksub, g % ksub
             src = ids_ref[r] * ksub + s
             dst = (base + r) * ksub + s
         return pltpu.make_async_copy(
@@ -67,10 +75,10 @@ def _gather_kernel(
         dma(j).start()
         return 0
 
-    lax.fori_loop(0, total, issue, 0, unroll=True)
+    lax.fori_loop(0, per_step, issue, 0, unroll=True)
 
     def drain(k, _):
-        dma(total - n_inflight + k).wait()
+        dma(per_step - n_inflight + k).wait()
         return 0
 
     lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
@@ -91,23 +99,25 @@ def _wide_row_split(n_planes: int, itemsize: int) -> int:
 
 
 def _scatter_kernel(
-    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block: int,
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, per_step: int,
     n_inflight: int, ksub: int = 1,
 ):
     # out_ref aliases the donated table buffer (input_output_aliases);
     # table_in_ref is the same memory and is not read.  ksub > 1: wide-row
-    # mode, table/rows re-viewed as [.*ksub, P//ksub, 128] (see
-    # _gather_kernel).
+    # mode, table/rows re-viewed as [.*ksub, P//ksub, 128].  2-D grid +
+    # per_step sub-stepping: see _gather_kernel (SMEM block must equal
+    # XLA's s32 tile).
     del table_in_ref
-    nb = pl.program_id(0)
-    base = nb * id_block
-    total = id_block * ksub
+    id_block = ids_ref.shape[0]
+    base = pl.program_id(0) * id_block
+    off = pl.program_id(1) * per_step
 
     def dma(j):
+        g = off + j
         if ksub == 1:
-            src, dst = base + j, ids_ref[j]
+            src, dst = base + g, ids_ref[g]
         else:
-            r, s = j // ksub, j % ksub
+            r, s = g // ksub, g % ksub
             src = (base + r) * ksub + s
             dst = ids_ref[r] * ksub + s
         return pltpu.make_async_copy(
@@ -124,22 +134,34 @@ def _scatter_kernel(
         dma(j).start()
         return 0
 
-    lax.fori_loop(0, total, issue, 0, unroll=True)
+    lax.fori_loop(0, per_step, issue, 0, unroll=True)
 
     def drain(k, _):
-        dma(total - n_inflight + k).wait()
+        dma(per_step - n_inflight + k).wait()
         return 0
 
     lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
 
 
+def _ring_steps(id_block: int, ksub: int, per_step: int | None):
+    """(per_step, nsteps) for the 2-D ring grid: default per_step caps
+    the unrolled DMA issues per grid step at the standard ring's ~1024
+    compile budget."""
+    total = id_block * ksub
+    if per_step is None:
+        per_step = min(total, 1024)
+    assert total % per_step == 0, (id_block, ksub, per_step)
+    return per_step, total // per_step
+
+
 @functools.partial(
-    jax.jit, static_argnames=("id_block", "n_inflight", "split"),
+    jax.jit, static_argnames=("id_block", "n_inflight", "split", "per_step"),
     donate_argnums=(0,),
 )
 def scatter_rows_pallas3(
     table3: Array, ids: Array, rows3: Array, *, id_block: int = 1024,
     n_inflight: int = 256, split: int | None = None,
+    per_step: int | None = None,
 ) -> Array:
     """Native-tile-layout scatter: table3[ids[i]] = rows3[i], both in the
     kernel's ``[., D//128, 128]`` layout; the table3 buffer is donated and
@@ -168,15 +190,15 @@ def scatter_rows_pallas3(
         assert P % ksub == 0, (P, ksub)
         table3 = table3.reshape(table3.shape[0] * ksub, P // ksub, 128)
         rows3 = rows3.reshape(B * ksub, P // ksub, 128)
-        while id_block * ksub > 1024 and id_block > 128 and B % (id_block // 2) == 0:
-            id_block //= 2
+    per_step, nsteps = _ring_steps(id_block, ksub, per_step)
+    n_inflight = min(n_inflight, per_step)
     out = pl.pallas_call(
         functools.partial(
-            _scatter_kernel, id_block=id_block, n_inflight=n_inflight, ksub=ksub
+            _scatter_kernel, per_step=per_step, n_inflight=n_inflight, ksub=ksub
         ),
-        grid=(B // id_block,),
+        grid=(B // id_block, nsteps),
         in_specs=[
-            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((id_block,), lambda i, s: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -211,10 +233,12 @@ def scatter_rows_pallas(
     return out3.reshape(N, D)
 
 
-@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight", "split"))
+@functools.partial(
+    jax.jit, static_argnames=("id_block", "n_inflight", "split", "per_step")
+)
 def _gather_rows_pallas3_impl(
     table: Array, ids: Array, *, id_block: int = 1024, n_inflight: int = 256,
-    split: int | None = None,
+    split: int | None = None, per_step: int | None = None,
 ) -> Array:
     """out[i] = table[ids[i]] via pipelined row DMAs, returned in the
     kernel's native tile layout ``[B, D//128, 128]`` (avoids the ~25% cost
@@ -250,18 +274,15 @@ def _gather_rows_pallas3_impl(
     if ksub > 1:
         assert P % ksub == 0, (P, ksub)
         table3 = table3.reshape(N3 * ksub, P // ksub, 128)
-        # keep the unrolled DMA-issue count (id_block * ksub) at the
-        # standard ring's compile budget of ~1024
-        while id_block * ksub > 1024 and id_block > 128 and B % (id_block // 2) == 0:
-            id_block //= 2
-    grid = (B // id_block,)
+    per_step, nsteps = _ring_steps(id_block, ksub, per_step)
+    n_inflight = min(n_inflight, per_step)
     out = pl.pallas_call(
         functools.partial(
-            _gather_kernel, id_block=id_block, n_inflight=n_inflight, ksub=ksub
+            _gather_kernel, per_step=per_step, n_inflight=n_inflight, ksub=ksub
         ),
-        grid=grid,
+        grid=(B // id_block, nsteps),
         in_specs=[
-            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((id_block,), lambda i, s: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -815,33 +836,36 @@ def choose_gather_kernel(
 #     callers pad D (HostEmbedding raises a clear error).
 
 
-def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block, n_inflight):
-    nb = pl.program_id(0)
-    base = nb * id_block
+def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, per_step, n_inflight):
+    # 2-D grid + per_step sub-stepping: see _gather_kernel (the ids SMEM
+    # block must equal XLA's s32 tile, never shrink it to bound the unroll)
+    id_block = ids_ref.shape[0]
+    base = pl.program_id(0) * id_block
+    off = pl.program_id(1) * per_step
 
     def dma(j):
-        idx = ids_ref[j]
+        idx = ids_ref[off + j]
         return pltpu.make_async_copy(
-            table_ref.at[idx], out_ref.at[base + j], sems.at[j % n_inflight]
+            table_ref.at[idx], out_ref.at[base + off + j], sems.at[j % n_inflight]
         )
 
     def issue(j, _):
-        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[j - n_inflight] >= 0))
+        @pl.when(jnp.logical_and(j >= n_inflight, ids_ref[off + j - n_inflight] >= 0))
         def _wait():
             dma(j - n_inflight).wait()
 
-        @pl.when(ids_ref[j] >= 0)
+        @pl.when(ids_ref[off + j] >= 0)
         def _start():
             dma(j).start()
 
         return 0
 
-    lax.fori_loop(0, id_block, issue, 0, unroll=True)
+    lax.fori_loop(0, per_step, issue, 0, unroll=True)
 
     def drain(k, _):
-        j = id_block - n_inflight + k
+        j = per_step - n_inflight + k
 
-        @pl.when(jnp.logical_and(j >= 0, ids_ref[j] >= 0))
+        @pl.when(jnp.logical_and(j >= 0, ids_ref[off + j] >= 0))
         def _w():
             dma(j).wait()
 
@@ -851,22 +875,23 @@ def _masked_gather_kernel(ids_ref, table_ref, out_ref, sems, *, id_block, n_infl
 
 
 def _masked_scatter_kernel(
-    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, id_block, n_inflight,
+    ids_ref, rows_ref, table_in_ref, out_ref, sems, *, per_step, n_inflight,
     ksub: int = 1,
 ):
     del table_in_ref  # aliased with out_ref
-    nb = pl.program_id(0)
-    base = nb * id_block
-    total = id_block * ksub
+    id_block = ids_ref.shape[0]
+    base = pl.program_id(0) * id_block
+    off = pl.program_id(1) * per_step
 
     def valid(j):
-        return ids_ref[j // ksub] >= 0
+        return ids_ref[(off + j) // ksub] >= 0
 
     def dma(j):
+        g = off + j
         if ksub == 1:
-            src, dst = base + j, ids_ref[j]
+            src, dst = base + g, ids_ref[g]
         else:
-            r, s = j // ksub, j % ksub
+            r, s = g // ksub, g % ksub
             src = (base + r) * ksub + s
             dst = ids_ref[r] * ksub + s
         return pltpu.make_async_copy(
@@ -884,10 +909,10 @@ def _masked_scatter_kernel(
 
         return 0
 
-    lax.fori_loop(0, total, issue, 0, unroll=True)
+    lax.fori_loop(0, per_step, issue, 0, unroll=True)
 
     def drain(k, _):
-        j = total - n_inflight + k
+        j = per_step - n_inflight + k
 
         @pl.when(jnp.logical_and(j >= 0, valid(j)))
         def _w():
@@ -1155,13 +1180,20 @@ def host_gather_rows_spans(
         # sized for >=50% in-span density; scattered batches overflow into
         # the per-row fallback instead of bloating the staging buffer
         max_spans = min(B, 2 * -(-B // span_rows))
-    max_spans = -(-max_spans // 256) * 256  # pad for the fetch ring
+    # fetch-ring block must equal XLA's 1-D s32 tile T(min(1024, len)):
+    # pad the span list to a power of two (<1024) or a 1024 multiple
+    if max_spans >= 1024:
+        max_spans = -(-max_spans // 1024) * 1024
+        span_blk = 1024
+    else:
+        span_blk = 1 << (max_spans - 1).bit_length()
+        max_spans = span_blk
     slots = slots.astype(jnp.int32)
     fetch_ids, idx_orig, overflow = _span_plan(slots, span_rows, max_spans)
 
     def span_branch(_):
         fetched = _host_fetch_chunks(
-            flat, fetch_ids, span_rows * dim, 256, n_inflight
+            flat, fetch_ids, span_rows * dim, span_blk, n_inflight
         )
         f2 = fetched.reshape(max_spans * span_rows, dim)
         return jnp.take(f2, idx_orig, axis=0, mode="clip")
@@ -1236,13 +1268,16 @@ def host_scatter_rows(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("id_block", "n_inflight"))
+@functools.partial(
+    jax.jit, static_argnames=("id_block", "n_inflight", "per_step")
+)
 def gather_rows_masked(
     table: Array,
     slots: Array,
     *,
     id_block: int = 1024,
     n_inflight: int = 128,
+    per_step: int | None = None,
 ) -> Array:
     """out[i] = table[slots[i]] for slots >= 0 (GARBAGE rows where slot < 0 —
     mask downstream).  HBM tables only; the pinned-host
@@ -1254,13 +1289,15 @@ def gather_rows_masked(
     slots = _pad_ids(slots.astype(jnp.int32), id_block)
     Bp = slots.shape[0]
     table_space = pltpu.ANY
+    per_step, nsteps = _ring_steps(id_block, 1, per_step)
+    n_inflight = min(n_inflight, per_step)
     out3 = pl.pallas_call(
         functools.partial(
-            _masked_gather_kernel, id_block=id_block, n_inflight=n_inflight
+            _masked_gather_kernel, per_step=per_step, n_inflight=n_inflight
         ),
-        grid=(Bp // id_block,),
+        grid=(Bp // id_block, nsteps),
         in_specs=[
-            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((id_block,), lambda i, s: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=table_space),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1273,7 +1310,7 @@ def gather_rows_masked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("id_block", "n_inflight", "split"),
+    static_argnames=("id_block", "n_inflight", "split", "per_step"),
     donate_argnums=(0,),
 )
 def scatter_rows_masked3(
@@ -1284,6 +1321,7 @@ def scatter_rows_masked3(
     id_block: int = 1024,
     n_inflight: int = 128,
     split: int | None = None,
+    per_step: int | None = None,
 ) -> Array:
     """Native-tile-layout masked scatter: table3[slots[i]] = rows3[i] for
     slots >= 0 (slot < 0 skipped), both in the kernel's ``[., D//128, 128]``
@@ -1309,16 +1347,16 @@ def scatter_rows_masked3(
         assert P % ksub == 0, (P, ksub)
         table3 = table3.reshape(table3.shape[0] * ksub, P // ksub, 128)
         rows3 = rows3.reshape(Bp * ksub, P // ksub, 128)
-        while id_block * ksub > 1024 and id_block > 128 and Bp % (id_block // 2) == 0:
-            id_block //= 2
+    per_step, nsteps = _ring_steps(id_block, ksub, per_step)
+    n_inflight = min(n_inflight, per_step)
     out = pl.pallas_call(
         functools.partial(
-            _masked_scatter_kernel, id_block=id_block, n_inflight=n_inflight,
+            _masked_scatter_kernel, per_step=per_step, n_inflight=n_inflight,
             ksub=ksub,
         ),
-        grid=(Bp // id_block,),
+        grid=(Bp // id_block, nsteps),
         in_specs=[
-            pl.BlockSpec((id_block,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((id_block,), lambda i, s: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
