@@ -47,6 +47,12 @@ def main():
                     help="full-graph eval with row-sharded features/"
                          "activations/logits (pod-scale: nothing is ever "
                          "replicated; sage/gcn)")
+    ap.add_argument("--halo-eval", action="store_true",
+                    help="pod-scale full-graph eval over the edge-"
+                         "partitioned halo layout (graph/partitioned.py): "
+                         "one exact gather of each device's unique remote "
+                         "sources per layer instead of per-edge exchange; "
+                         "sage/gcn/gat/rgcn")
     ap.add_argument("--scan-epoch", action="store_true",
                     help="run each whole epoch inside one jit via lax.scan "
                          "(amortises per-step dispatch; TPU-native idiom)")
@@ -251,9 +257,24 @@ def main():
         )
         return params, estate, opt_state, cache, losses
 
-    full_graph = bool(args.full_graph_eval) or bool(args.sharded_eval)
-    if args.sharded_eval:
-        from wholegraph_tpu.models.sharded_eval import eval_full_graph_sharded
+    full_graph = (
+        bool(args.full_graph_eval) or bool(args.sharded_eval)
+        or bool(args.halo_eval)
+    )
+    if args.sharded_eval or args.halo_eval:
+        if args.halo_eval:
+            from wholegraph_tpu.graph.partitioned import (
+                eval_full_graph_partitioned, halo_stats, partition_graph,
+            )
+
+            # partition with the feature table's row plan so output shards
+            # align with table shards (spmm_halo checks this)
+            pg = partition_graph(g, mesh, plan=emb.plan, axis=emb.axis)
+            st = halo_stats(pg)
+            print(f"[HALO] rows/layer {st['halo_rows']} vs per-edge "
+                  f"{st['per_edge_rows']} ({st['savings_x']:.1f}x less wire)")
+        else:
+            from wholegraph_tpu.models.sharded_eval import eval_full_graph_sharded
 
         @jax.jit
         def _eval_metrics(logits, labels):
@@ -262,7 +283,10 @@ def main():
         def eval_step(params, estate, centers, labels):
             # features/activations/logits stay sharded tables end-to-end
             x_tab = emb.as_sharded_table(estate)
-            logits_tab = eval_full_graph_sharded(model, params, g, x_tab)
+            if args.halo_eval:
+                logits_tab = eval_full_graph_partitioned(model, params, pg, x_tab)
+            else:
+                logits_tab = eval_full_graph_sharded(model, params, g, x_tab)
             logits = logits_tab.gather(centers)  # only the batch replicates
             return _eval_metrics(logits, labels)
     elif args.full_graph_eval:
