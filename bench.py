@@ -66,24 +66,49 @@ def detect_hbm_gbps() -> float:
 def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     import wholegraph_tpu as wg
 
+    # cap the table at ~6 GiB so wide-dim sweeps (--dim 768/1024) fit HBM
+    # next to the batch/chain buffers (the chain keeps ~2 output copies
+    # alive: batch*dim*4 each); bandwidth is table-size-independent well
+    # past cache scale.  Plane counts that are neither <=2 nor a multiple
+    # of 8 (e.g. dim 768 f32 = 6 planes) are NOT XLA-layout-native: the
+    # [N, P, 128] argument pads P->8 and the pallas custom call's dense
+    # layout forces a one-time whole-table relayout copy — cap those at
+    # 3.5 GiB so table + padded copy coexist (DESIGN.md layout guidance).
+    planes = dim // 128 if dim % 128 == 0 else 0
+    native = planes in (1, 2) or (planes and planes % 8 == 0)
+    cap = (6 << 30) if native else (35 << 27)
+    n_rows = min(n_rows, cap // (dim * 4))
     mesh = wg.parallel.create_global_mesh()
-    table = wg.ShardedTable.create(mesh, n_rows, dim)  # zeros, on-device
-
-    world = mesh.shape[table.axis]
+    world = mesh.shape["data"]
     use_pallas3 = (
         world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
     )
+    if use_pallas3:
+        # NATIVE tile layout table (the production trainable-table layout,
+        # Embedding.native_layout): feeding the ring a 2-D [N, D] table
+        # makes XLA re-run the [N, D] -> [N, D//128, 128] relayout copy
+        # inside the measurement loop (a full-table HBM pass per iter; at
+        # dim 768 the padded copy alone is 8 GB and OOMs the chip)
+        from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
+
+        data0 = jax.jit(
+            lambda: jnp.zeros((n_rows, dim // 128, 128), jnp.float32)
+        )()
+
+        def step(i, data):
+            ids = jax.random.randint(
+                jax.random.PRNGKey(i), (batch,), 0, n_rows
+            )
+            rows = gather_rows_pallas3(data, ids.astype(jnp.int32))
+            return rows[0, 0, 0]
+
+        dt = measure_median(step, iters, data0)
+        return batch * dim * 4 / dt / 1e9, dt
+
+    table = wg.ShardedTable.create(mesh, n_rows, dim)  # zeros, on-device
 
     def step(i, data):
         ids = jax.random.randint(jax.random.PRNGKey(i), (batch,), 0, n_rows)
-        if use_pallas3:
-            # native tile layout: measures the gather itself without the
-            # artificial [B, d0, 128] -> [B, D] relayout pass
-            from wholegraph_tpu.ops.gather_pallas import gather_rows_pallas3
-
-            phys = table.plan.physical_index(ids)
-            rows = gather_rows_pallas3(data, phys.astype(jnp.int32))
-            return rows[0, 0, 0]
         rows = wg.ops.gather(data, ids, plan=table.plan, mesh=mesh, axis=table.axis)
         return rows[0, 0]
 

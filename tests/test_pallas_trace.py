@@ -128,22 +128,17 @@ def test_embedding_ring_apply_traces():
     assert out[0].shape == (8192, 2, 128)
 
 
-@pytest.mark.parametrize("nplanes,itemsize_dtype,expect_k", [
-    (2, jnp.float32, 1),    # 1KB: no split
-    (4, jnp.float32, 1),    # 2KB: no split (sweet spot)
-    (6, jnp.float32, 2),    # 3KB: 2 x 1.5KB
-    (8, jnp.float32, 2),    # 4KB: 2 x 2KB
-    (12, jnp.float32, 3),   # 6KB: 3 x 2KB
-    (7, jnp.float32, 7),    # prime planes: per-plane
-    (8, jnp.bfloat16, 1),   # 2KB bf16: no split
-    (16, jnp.bfloat16, 2),  # 4KB bf16
+@pytest.mark.parametrize("nplanes,itemsize_dtype", [
+    (2, jnp.float32), (6, jnp.float32), (12, jnp.float32),
+    (16, jnp.bfloat16),
 ])
-def test_wide_row_split_heuristic(nplanes, itemsize_dtype, expect_k):
+def test_wide_row_split_heuristic(nplanes, itemsize_dtype):
+    """Auto-split is ALWAYS whole-row: the r3 hardware A/B refuted the
+    2KB-cliff hypothesis (whole slabs 229-272 GB/s at 3-6KB rows, every
+    split slower — scripts/exp_widerow.py; DESIGN.md perf notes)."""
     from wholegraph_tpu.ops.gather_pallas import _wide_row_split
 
-    k = _wide_row_split(nplanes, jnp.dtype(itemsize_dtype).itemsize)
-    assert k == expect_k
-    assert nplanes % k == 0
+    assert _wide_row_split(nplanes, jnp.dtype(itemsize_dtype).itemsize) == 1
 
 
 @pytest.mark.parametrize("nplanes", [6, 8, 12])

@@ -88,16 +88,24 @@ class PartitionedGraph:
     e_cap: int
     h_cap: int
     halo_rows_total: int  # real (non-pad) halo ids, summed over devices
+    edge_type: Optional[Array] = None  # [world*e_cap] relation ids (RGCN)
+    num_relations: int = 0
 
     def tree_flatten(self):
-        return (self.src_slot, self.dst_slot, self.halo_ids, self.edge_weight), (
+        return (
+            self.src_slot, self.dst_slot, self.halo_ids, self.edge_weight,
+            self.edge_type,
+        ), (
             self.plan, self.mesh, self.axis, self.node_count, self.edge_count,
-            self.e_cap, self.h_cap, self.halo_rows_total,
+            self.e_cap, self.h_cap, self.halo_rows_total, self.num_relations,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, *aux)
+        src, dst, halo, ew, et = ch
+        plan, mesh, axis, n, e, ec, hc, ht, nr = aux
+        return cls(src, dst, halo, ew, plan, mesh, axis, n, e, ec, hc, ht,
+                   edge_type=et, num_relations=nr)
 
 
 def partition_graph(
@@ -135,12 +143,20 @@ def partition_graph(
             else g.edge_weight,
             dtype=np.float32,
         )
+    et = None
+    if getattr(g, "edge_type", None) is not None:
+        et = np.asarray(
+            g.edge_type.to_array()
+            if hasattr(g.edge_type, "to_array")
+            else g.edge_type,
+            dtype=np.int32,
+        )
     dst = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
     dst_own, dst_slot_all = _owner_slot_np(plan, dst)
     src_own, src_slot_all = _owner_slot_np(plan, col)
 
     cap = plan.capacity
-    per_src, per_dst, per_halo, per_w = [], [], [], []
+    per_src, per_dst, per_halo, per_w, per_et = [], [], [], [], []
     halo_total = 0
     for d in range(world):
         m = dst_own == d
@@ -158,6 +174,8 @@ def partition_graph(
         per_halo.append(remote)
         if w is not None:
             per_w.append(w[m])
+        if et is not None:
+            per_et.append(et[m])
 
     e_cap = _round_up(max(len(x) for x in per_src), 8)
     h_cap = _round_up(max(len(h) for h in per_halo), 8)
@@ -165,6 +183,7 @@ def partition_graph(
     dst_buf = np.full((world, e_cap), cap, dtype=np.int32)
     halo_buf = np.full((world, h_cap), n, dtype=np.int64)
     w_buf = np.zeros((world, e_cap), dtype=np.float32) if w is not None else None
+    et_buf = np.zeros((world, e_cap), dtype=np.int32) if et is not None else None
     for d in range(world):
         k = len(per_src[d])
         src_buf[d, :k] = per_src[d]
@@ -172,6 +191,8 @@ def partition_graph(
         halo_buf[d, : len(per_halo[d])] = per_halo[d]
         if w_buf is not None:
             w_buf[d, :k] = per_w[d]
+        if et_buf is not None:
+            et_buf[d, :k] = per_et[d]
 
     sh1 = NamedSharding(mesh, P(axis))
     put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh1)
@@ -189,6 +210,8 @@ def partition_graph(
         e_cap=e_cap,
         h_cap=h_cap,
         halo_rows_total=halo_total,
+        edge_type=None if et_buf is None else put(et_buf),
+        num_relations=int(getattr(g, "num_relations", 0) or 0),
     )
 
 
@@ -316,39 +339,183 @@ def spmm_halo(
     return ShardedTable(fn(*args), pg.plan, pg.mesh, pg.axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_gat_agg_fn(mesh, axis, cap, e_cap, h_cap, H, D, neg_slope, concat):
+    """One GAT head-block over the halo layout.  Attention is destination-
+    local: every in-edge of a dst lives with its owner, so the per-dst
+    softmax (with the self-loop folded in analytically) needs no collective.
+    Matches GATConv's full-graph branch (models/conv.py) incl. self loops."""
+
+    def body(featv, halo, src_slot, dst_slot, a_src, a_dst):
+        # featv [cap, H*D] local projected rows; halo [h_cap, H*D]
+        xloc = jnp.concatenate(
+            [featv, halo, jnp.zeros((1, H * D), featv.dtype)]
+        ).reshape(cap + h_cap + 1, H, D)
+        e_src = jnp.einsum("nhd,hd->nh", xloc, a_src)  # [cap+h_cap+1, H]
+        e_dst = jnp.einsum("chd,hd->ch", xloc[:cap], a_dst)  # [cap, H]
+        e_dst_f = jnp.concatenate([e_dst, jnp.zeros((1, H), e_dst.dtype)])
+        lg = jax.nn.leaky_relu(
+            e_src[src_slot] + e_dst_f[dst_slot], negative_slope=neg_slope
+        )  # [e_cap, H]
+        mx = jax.ops.segment_max(
+            lg, dst_slot, num_segments=cap + 1, indices_are_sorted=True
+        )[:cap]
+        self_lg = jax.nn.leaky_relu(
+            e_src[:cap] + e_dst, negative_slope=neg_slope
+        )  # [cap, H]
+        m = jnp.maximum(mx, self_lg)
+        m_f = jnp.concatenate([m, jnp.zeros((1, H), m.dtype)])
+        ee = jnp.exp(lg - m_f[dst_slot])  # [e_cap, H]
+        denom = (
+            jax.ops.segment_sum(
+                ee, dst_slot, num_segments=cap + 1, indices_are_sorted=True
+            )[:cap]
+            + jnp.exp(self_lg - m)
+        )
+        num = (
+            jax.ops.segment_sum(
+                (ee[:, :, None] * xloc[src_slot]).reshape(e_cap, H * D),
+                dst_slot, num_segments=cap + 1, indices_are_sorted=True,
+            )[:cap].reshape(cap, H, D)
+            + jnp.exp(self_lg - m)[:, :, None] * xloc[:cap]
+        )
+        out = num / denom[:, :, None]  # [cap, H, D]
+        if concat:
+            return out.reshape(cap, H * D)
+        return out.mean(axis=1)
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                      P(None, None), P(None, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_rgcn_agg_fn(mesh, axis, cap, e_cap, h_cap, R, Dout):
+    """Per-relation mean aggregation over the halo layout (RGCNConv's
+    full-graph branch): messages are relation-transformed rows; the
+    (dst, relation) segment means are destination-local."""
+
+    def body(h, halo_h, src_slot, dst_slot, etype):
+        # h [cap, R*Dout] relation-transformed local rows; halo likewise
+        xloc = jnp.concatenate(
+            [h, halo_h, jnp.zeros((1, R * Dout), h.dtype)]
+        ).reshape(cap + h_cap + 1, R, Dout)
+        msgs = jnp.take_along_axis(
+            xloc[src_slot], etype[:, None, None], axis=1
+        )[:, 0]  # [e_cap, Dout]
+        seg = jnp.minimum(dst_slot, cap) * R + etype
+        seg = jnp.where(dst_slot >= cap, cap * R, seg)  # park pads
+        summed = jax.ops.segment_sum(
+            msgs, seg, num_segments=cap * R + 1, indices_are_sorted=False
+        )[: cap * R].reshape(cap, R, Dout)
+        cnt = jax.ops.segment_sum(
+            jnp.ones((e_cap,), h.dtype), seg, num_segments=cap * R + 1,
+            indices_are_sorted=False,
+        )[: cap * R].reshape(cap, R, 1)
+        return jnp.sum(summed / jnp.maximum(cnt, 1), axis=1)  # [cap, Dout]
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def _gat_layer_halo(pg, x, lp, H, D, concat, capacity_factor):
+    kernel = lp["proj"]["kernel"]
+    din = x.dim
+    feat_local = x.data @ kernel
+    if din <= H * D:  # gather narrow raw rows, project the halo locally
+        halo = x.gather(pg.halo_ids, capacity_factor=capacity_factor) @ kernel
+    else:  # projected rows are narrower — gather those
+        feat = ShardedTable(feat_local, pg.plan, pg.mesh, pg.axis)
+        halo = feat.gather(pg.halo_ids, capacity_factor=capacity_factor)
+    fn = _build_gat_agg_fn(
+        pg.mesh, pg.axis, pg.plan.capacity, pg.e_cap, pg.h_cap, H, D, 0.2,
+        concat,
+    )
+    return fn(feat_local, halo, pg.src_slot, pg.dst_slot,
+              lp["attn_src"], lp["attn_dst"])
+
+
+def _rgcn_layer_halo(pg, x, lp, capacity_factor):
+    check_input(pg.edge_type is not None,
+                "graph was partitioned without edge types")
+    W = lp["w_rel"]  # [R, Din, Dout]
+    R, _, Dout = W.shape
+    # gather Din-wide raw rows (not the R*Dout-wide transformed ones) and
+    # relation-transform locally — R-fold less wire
+    halo_x = x.gather(pg.halo_ids, capacity_factor=capacity_factor)
+    trans = lambda a: jnp.einsum("nd,rde->nre", a, W).reshape(a.shape[0], R * Dout)
+    fn = _build_rgcn_agg_fn(
+        pg.mesh, pg.axis, pg.plan.capacity, pg.e_cap, pg.h_cap, R, Dout
+    )
+    agg = fn(trans(x.data), trans(halo_x), pg.src_slot, pg.dst_slot,
+             pg.edge_type)
+    out = agg + x.data @ lp["self"]["kernel"]
+    if "bias" in lp:
+        out = out + lp["bias"]
+    return out
+
+
 def eval_full_graph_partitioned(
-    model, params, pg: PartitionedGraph, x_tab: ShardedTable
+    model, params, pg: PartitionedGraph, x_tab: ShardedTable,
+    *, capacity_factor: float = 2.0,
 ) -> ShardedTable:
     """Pod-scale full-graph eval over the halo layout: the
     :func:`models.sharded_eval.eval_full_graph_sharded` pass with every
-    per-edge gather+scatter replaced by :func:`spmm_halo` (same math, halo
-    wire volume).  Supports the same conv stacks ('sage' mean / 'gcn')."""
+    per-edge gather+scatter replaced by one halo gather per layer.  Covers
+    all four conv stacks: 'sage' (mean), 'gcn', 'gat', 'rgcn'."""
     mt = model.model_type.lower()
-    check_input(mt in ("sage", "gcn"), f"halo eval supports sage|gcn, got {mt}")
+    check_input(
+        mt in ("sage", "gcn", "gat", "rgcn"),
+        f"halo eval supports sage|gcn|gat|rgcn, got {mt}",
+    )
     if mt == "sage":
         check_input(model.aggregator == "mean", "halo sage eval: mean only")
     p = params["params"]
-    prefix = "SAGEConv" if mt == "sage" else "GCNConv"
+    prefix = {"sage": "SAGEConv", "gcn": "GCNConv", "gat": "GATConv",
+              "rgcn": "RGCNConv"}[mt]
     x = x_tab
+    L = model.num_layers
     if mt == "gcn":
         deg = degrees(pg)
         inv = ShardedTable(
             jax.lax.rsqrt(deg.data + 1.0), deg.plan, pg.mesh, pg.axis
         )
-    for i in range(model.num_layers):
+    for i in range(L):
         lp = p[f"{prefix}_{i}"]
         if mt == "sage":
-            agg = spmm_halo(pg, x, "mean")
+            agg = spmm_halo(pg, x, "mean", capacity_factor=capacity_factor)
             h = jnp.concatenate([x.data, agg.data], axis=-1)
             h = h @ lp["proj"]["kernel"] + lp["proj"]["bias"]
-        else:
+        elif mt == "gcn":
             h = x.data @ lp["proj"]["kernel"]
             hx = ShardedTable(h * inv.data, x.plan, pg.mesh, pg.axis)
-            agg = spmm_halo(pg, hx, "sum")
+            agg = spmm_halo(pg, hx, "sum", capacity_factor=capacity_factor)
             h = (agg.data + hx.data) * inv.data
             if "bias" in lp:
                 h = h + lp["bias"]
-        if i < model.num_layers - 1:
+        elif mt == "gat":
+            H = model.num_heads if i < L - 1 else 1
+            out_dim = model.num_classes if i == L - 1 else model.hidden_dim
+            h = _gat_layer_halo(
+                pg, x, lp, H, out_dim // max(H, 1), True, capacity_factor
+            )
+        else:
+            h = _rgcn_layer_halo(pg, x, lp, capacity_factor)
+        if i < L - 1:
             h = jax.nn.relu(h)
         x = ShardedTable(h, x.plan, pg.mesh, pg.axis)
     return x

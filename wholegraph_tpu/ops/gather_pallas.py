@@ -85,17 +85,17 @@ def _gather_kernel(
 
 
 def _wide_row_split(n_planes: int, itemsize: int) -> int:
-    """Sub-DMAs per row (ksub) for the ring kernels: 1 while a whole
-    [n_planes, 128] slab stays within the ~2KB DMA sweet spot, else the
-    smallest split whose sub-slab fits (largest divisor of n_planes that
-    keeps sub-rows <= 2KB; prime plane counts degrade to per-plane moves)."""
-    sp_max = max(1, 2048 // (128 * itemsize))
-    if n_planes <= sp_max:
-        return 1
-    for sp in range(sp_max, 0, -1):
-        if n_planes % sp == 0:
-            return n_planes // sp
-    return n_planes
+    """Sub-DMAs per row (ksub) for the ring kernels — ALWAYS 1.
+
+    The round-2 hypothesis (rows past ~2KB fall off a DMA sweet spot, so
+    split them into <=2KB sub-slabs) was REFUTED by the round-3 hardware
+    A/B (scripts/exp_widerow.py, v5e): whole-slab rows run 229-272 GB/s at
+    dims 768/1024/1536 (3-6KB rows — the ring's FASTEST sizes, more bytes
+    per ~8 ns descriptor) while every split k>=2 ran 32-119 GB/s (k extra
+    descriptors per row dominate).  The split machinery stays in-tree and
+    exact behind the explicit ``split=`` parameter for future A/Bs."""
+    del n_planes, itemsize
+    return 1
 
 
 def _scatter_kernel(
