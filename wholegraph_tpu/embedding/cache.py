@@ -85,9 +85,9 @@ def refresh_hot_cache(table: ShardedTable, cache: HotCache) -> HotCache:
     (wholememory_embedding_writeback_cache / drop_all_cache,
     embedding.h:220-244).  With the invalidation protocol this is the
     periodic re-capture after training steps."""
-    import jax as _jax
+    from ..parallel.collectives import fetch_global
 
-    return build_hot_cache(table, np.asarray(_jax.device_get(cache.hot_ids)))
+    return build_hot_cache(table, fetch_global(cache.hot_ids))
 
 
 def invalidate_touched(cache: HotCache, ids: Array) -> HotCache:

@@ -539,9 +539,13 @@ class Embedding:
     # -- host access (tests / checkpoint) -------------------------------------
 
     def to_array(self, state: EmbeddingState) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.table)).reshape(-1, self.dim)
+        from ..parallel.collectives import fetch_global
+
+        phys = fetch_global(state.table).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
 
     def slot_to_array(self, state: EmbeddingState, name: str) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.slots[name])).reshape(-1, self.dim)
+        from ..parallel.collectives import fetch_global
+
+        phys = fetch_global(state.slots[name]).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]

@@ -429,15 +429,19 @@ class HostEmbedding:
     # -- host access ----------------------------------------------------------
 
     def to_array(self, state: HostEmbeddingState) -> np.ndarray:
-        phys = np.asarray(jax.device_get(state.host_table)).reshape(-1, self.dim)
+        from ..parallel.collectives import fetch_global
+
+        phys = fetch_global(state.host_table).reshape(-1, self.dim)
         return phys[self.plan.physical_index_np(np.arange(self.plan.n, dtype=np.int64))]
 
     def cache_hit_fraction(self, state: HostEmbeddingState, ids) -> float:
         """Diagnostic: fraction of these ids the device cache would serve
         (the cold-cache observability counter, VERDICT r1 weak #8)."""
+        from ..parallel.collectives import fetch_global
+
         idt = _index_dtype(self.plan)
         ids = jnp.asarray(ids).astype(idt)
-        cmap = jax.device_get(state.cache_map)
+        cmap = fetch_global(state.cache_map)
         phys = self.plan.physical_index_np(np.asarray(ids, np.int64))
         return float((np.asarray(cmap)[phys] >= 0).mean())
 

@@ -40,9 +40,11 @@ Manifest = Tuple[List[Tuple[str, np.ndarray]], List[Tuple[str, dict]]]
 
 
 def _table_parts(table: ShardedTable, path_prefix: str):
+    # multi-controller: each process snapshots ONLY its addressable shards
+    # (disjoint part files across processes; single-controller = all)
     return [
         (f"{path_prefix}_part_{s}_of_{table.plan.world}", table.local_shard(s))
-        for s in range(table.plan.world)
+        for s in table.addressable_shard_ids()
     ]
 
 
@@ -81,6 +83,16 @@ def _write_manifest(manifest: Manifest) -> None:
         _fsync_path(tmp)
         os.replace(tmp, path)
         _fsync_dir(path)
+    # multi-controller: every process must have its parts durable BEFORE
+    # the commit marker lands, and only process 0 writes the marker
+    import jax
+
+    if jax.process_count() > 1:
+        from ..parallel.collectives import barrier
+
+        barrier()
+        if jax.process_index() != 0:
+            return
     for path, meta in metas:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -165,18 +177,18 @@ def load_embedding(emb: Embedding, directory: str, name: str) -> EmbeddingState:
 def _flat_host_parts(flat, plan, dim: int, path_prefix: str):
     """Part files for a FLAT host-tier shard array (row r of shard s is
     flat[(s*capacity + r)*dim : +dim]); identical bytes to the 2-D layout,
-    so the files interop with load_table_from_parts."""
-    import jax
-
-    phys = np.asarray(jax.device_get(flat)).reshape(-1, dim)
+    so the files interop with load_table_from_parts.  Multi-controller:
+    each process reads only ITS addressable flat shards (one per device,
+    capacity*dim elements each)."""
     cap = plan.capacity
-    return [
-        (
-            f"{path_prefix}_part_{s}_of_{plan.world}",
-            phys[s * cap : s * cap + plan.shard_rows[s]],
-        )
-        for s in range(plan.world)
-    ]
+    parts = []
+    for sh in flat.addressable_shards:
+        idx = sh.index[0]
+        start = 0 if idx.start is None else int(idx.start)
+        s = start // (cap * dim)
+        rows = np.asarray(sh.data).reshape(-1, dim)[: plan.shard_rows[s]]
+        parts.append((f"{path_prefix}_part_{s}_of_{plan.world}", rows))
+    return sorted(parts)
 
 
 def _host_embedding_manifest(emb, state, directory: str, name: str) -> Manifest:
@@ -192,15 +204,19 @@ def _host_embedding_manifest(emb, state, directory: str, name: str) -> Manifest:
             arr, emb.plan, emb.dim,
             os.path.join(directory, f"{name}_{slot_name}"),
         )
-    cmap = np.asarray(jax.device_get(state.cache_map))
+    from ..parallel.collectives import fetch_global
+
+    cmap = fetch_global(state.cache_map)
     phys_hot = np.nonzero(cmap >= 0)[0]
     # physical slot -> logical id (inverse of the plan's physical map)
     logical = np.full(emb.plan.total_physical_rows, -1, np.int64)
     all_ids = np.arange(emb.plan.n, dtype=np.int64)
     logical[emb.plan.physical_index_np(all_ids)] = all_ids
     hot_ids = np.sort(logical[phys_hot])
-    # small sidecar, written in the snapshot phase (meta still lands last)
-    np.save(os.path.join(directory, f"{name}_hot_ids.npy"), hot_ids)
+    # small sidecar, written in the snapshot phase (meta still lands last);
+    # one writer under multi-controller (identical content on all procs)
+    if jax.process_index() == 0:
+        np.save(os.path.join(directory, f"{name}_hot_ids.npy"), hot_ids)
     meta = {
         "name": name,
         "part_count": emb.plan.world,
@@ -253,8 +269,10 @@ def load_host_embedding(emb, directory: str, name: str):
             saved_plan=saved_plan,
         ).data
         # host-tier slot shards are stored FLAT (see HostEmbedding)
+        from ..parallel.collectives import fetch_global
+
         host_slots[s] = jax.device_put(
-            np.asarray(jax.device_get(arr)).reshape(-1),
+            fetch_global(arr).reshape(-1),
             state.host_slots[s].sharding,
         )
     state.host_slots = host_slots

@@ -211,16 +211,45 @@ class ShardedTable:
         return dataclasses.replace(self, data=data)
 
     def to_array(self) -> np.ndarray:
-        """Materialise the logical [n, dim] array on host (tests/IO)."""
-        phys = np.asarray(jax.device_get(self.data))
+        """Materialise the logical [n, dim] array on host (tests/IO).
+        Multi-controller safe: under jax.distributed the global value is
+        assembled with process_allgather (pods should prefer per-shard
+        access via :meth:`local_shard`)."""
+        from ..parallel.collectives import fetch_global
+
+        phys = fetch_global(self.data)
         return phys[self.plan.physical_index_np(np.arange(self.n, dtype=np.int64))]
+
+    def addressable_shard_ids(self):
+        """Plan-shard indices whose rows live on THIS process's devices
+        (all of them in single-controller runs) — the multi-controller
+        analog of the reference's get_local_memory rank scoping."""
+        cap = self.plan.capacity
+        ids = set()
+        for sh in self.data.addressable_shards:
+            idx = sh.index[0]
+            start = 0 if idx.start is None else int(idx.start)
+            ids.add(start // cap)
+        return sorted(ids)
 
     def local_shard(self, s: int) -> np.ndarray:
         """Host copy of shard ``s``'s owned rows (slot order, no padding) —
-        get_local_memory analog, used by checkpoint/file IO."""
+        get_local_memory analog, used by checkpoint/file IO.  Reads ONLY
+        that shard's device buffer (no global fetch); under
+        jax.distributed the shard must be addressable from this process
+        (see :meth:`addressable_shard_ids`)."""
         cap = self.plan.capacity
-        phys = np.asarray(jax.device_get(self.data))
-        return phys[s * cap : s * cap + self.plan.shard_rows[s]]
+        for sh in self.data.addressable_shards:
+            idx = sh.index[0]
+            start = 0 if idx.start is None else int(idx.start)
+            if start == s * cap:
+                return np.asarray(sh.data)[: self.plan.shard_rows[s]]
+        check_input(
+            False,
+            f"shard {s} is not addressable from process "
+            f"{jax.process_index()} (local shards: "
+            f"{self.addressable_shard_ids()})",
+        )
 
     def sub_rows(self, start: int, stop: int) -> np.ndarray:
         """Host copy of logical rows [start, stop) (subtensor analog)."""

@@ -61,3 +61,26 @@ def barrier() -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("wgtpu_barrier")
+
+
+def fetch_global(arr) -> "np.ndarray":
+    """Host numpy copy of a (possibly multi-controller) jax.Array.
+
+    Single-process: a plain device_get.  Under jax.distributed every
+    process holds only its addressable shards, so a direct fetch raises;
+    ``process_allgather`` assembles the global value on every host (the
+    analog of the reference reading a whole WholeMemory tensor back —
+    pods should prefer the per-shard paths, this is for tests/tools)."""
+    import numpy as np
+
+    if (
+        jax.process_count() == 1
+        or getattr(arr, "is_fully_replicated", False)
+        or getattr(arr, "is_fully_addressable", False)
+    ):
+        # replicated / process-local values are directly fetchable (tiled
+        # allgather would duplicate replicated rows)
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
