@@ -125,9 +125,22 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
 
     from wholegraph_tpu.ops import local_take_sorted
 
-    table = jax.jit(lambda: jnp.ones((n_rows, dim), jnp.float32))()
+    n_rows = min(n_rows, (6 << 30) // (dim * 4))  # fit HBM at wide dims
     rng = np.random.RandomState(0)
     span = min(n_rows, int(batch * 1.25))
+    # mirror production layout per the dispatch heuristic: when sorted ids
+    # route to the RING (wide rows / low density), tables live in the
+    # native [N, D//128, 128] layout (Embedding.native_layout) — a 2-D
+    # table would re-run the relayout copy inside the chain
+    from wholegraph_tpu.ops.gather_pallas import choose_gather_kernel
+
+    use_native = (
+        jax.default_backend() == "tpu"
+        and dim % 128 == 0
+        and choose_gather_kernel(batch / span, jnp.float32, dim) == "ring"
+    )
+    shape = (n_rows, dim // 128, 128) if use_native else (n_rows, dim)
+    table = jax.jit(lambda: jnp.ones(shape, jnp.float32))()
     base = rng.randint(0, n_rows - span, size=iters + 2)
 
     ids_list = [
@@ -171,6 +184,7 @@ def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     mesh = wg.parallel.create_global_mesh()
     world = mesh.shape["data"]
     use_pallas = world == 1 and jax.default_backend() == "tpu" and dim % 128 == 0
+    n_rows = min(n_rows, (6 << 30) // (dim * 4))  # fit HBM at wide dims
     table = wg.ShardedTable.create(mesh, n_rows, dim)
     rows_mat = jax.jit(lambda: jnp.ones((batch, dim), jnp.float32))()
     plan = table.plan
