@@ -255,6 +255,46 @@ def test_weighted_block_paths_bitequal_element_path_cpu():
     np.testing.assert_array_equal(np.asarray(pos_l)[1:], np.asarray(ref_pos)[1:])
 
 
+def test_weighted_single_shot_1blk_bitequal_cpu():
+    """Constant degree 8 with 8-aligned starts keeps every center's span
+    inside ONE 128-lane block (s_lane + deg <= 128), forcing the 1-block
+    single-shot branch: positions/mask must be bit-identical to the
+    element-fetch reference ladder."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.gather_pallas as gp
+    from wholegraph_tpu.ops.sampling import _sample_positions_weighted
+
+    rs = np.random.RandomState(31)
+    n, K, d = 3000, 5, 8
+    row_ptr = np.arange(n + 1, dtype=np.int32) * d
+    E = n * d
+    weights = jnp.asarray(rs.rand(E).astype(np.float32) + 0.05)
+    B = 512
+    centers = jnp.asarray(rs.randint(0, n, B).astype(np.int32))
+    start = jnp.asarray(row_ptr[:-1])[centers]
+    deg = jnp.full((B,), d, jnp.int32)
+
+    ref_pos, ref_mask = _sample_positions_weighted(
+        start, deg, K, 7, centers, 0, weights, 1024
+    )
+
+    def fake_gather3(table, ids, **kw):
+        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+        return out[:, None, :] if out.ndim == 2 else out
+
+    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch(
+             "wholegraph_tpu.ops.sampling.jax.default_backend",
+             return_value="tpu",
+         ):
+        pos1, mask1 = _sample_positions_weighted(
+            start, deg, K, 7, centers, 0, weights, 1024
+        )
+    np.testing.assert_array_equal(np.asarray(mask1), np.asarray(ref_mask))
+    np.testing.assert_array_equal(np.asarray(pos1), np.asarray(ref_pos))
+
+
 def test_weighted_bucketed_dispatch_bitequal_cpu():
     """B>=4096 routes through the degree-bucketed dispatch (4 buckets,
     per-bucket ladder levels): results must stay bit-identical to the

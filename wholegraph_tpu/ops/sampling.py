@@ -262,45 +262,63 @@ def _weighted_block_ladder(
     def ladder_path(_):
         return _ladder_run(body, init, total_iters, needed)
 
-    def single_shot_2blk(_):
+    def make_single_shot(nblk: int):
         """Low-degree fast path: when the whole batch's adjacencies fit in
-        each center's 2 enclosing 128-lane blocks (max(s_lane + deg) <=
-        256 — the common GNN regime: actual degrees far below the declared
-        max), fetch HALF the blocks, compute keys on [B, 256] instead of
-        [B, 512], and take the top-K in ONE approx_max_k with positions
+        each center's ``nblk`` enclosing 128-lane blocks (max(s_lane + deg)
+        <= nblk*128 — the common GNN regime: actual degrees far below the
+        declared max), fetch only those blocks, compute keys on
+        [B, nblk*128], and take the top-K in ONE approx_max_k with positions
         recovered arithmetically — no running-merge carry at all.  The key
         per (center, offset) is the same hash as the ladder's, so the
         selected set is bit-equal (same multiset into the same exact
-        top-K)."""
-        span2 = 2 * 128
-        bids = blk0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
-        fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
-        pad_m = -fl.shape[0] % 1024
-        if pad_m:
-            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
-        lanes = _gather_rows_pallas3_impl(w2, fl)[: B * 2].reshape(B, span2)
-        offs = jnp.arange(span2, dtype=jnp.int32)[None, :] - s_lane[:, None]
-        valid = (offs >= 0) & (offs < deg[:, None])
-        offs_c = jnp.where(valid, offs, 0)
-        u = rng.rand_uniform(
-            seed,
-            jnp.broadcast_to(centers[:, None], (B, span2)),
-            hop * _HOP_STRIDE + offs_c,
-        )
-        key = jnp.where(
-            valid & (lanes > 0),
-            jnp.log(jnp.maximum(u, 1e-20)) / lanes,
-            neg_inf,
-        )
-        topk, topi = lax.approx_max_k(
-            key, K, recall_target=1.0, aggregate_to_topk=True
-        )
-        return topk, topi.astype(jnp.int32) - s_lane[:, None]
+        top-K).  nblk=1 (deg + lane offset inside one block — 75% of a
+        deg-32 batch) halves the DMA descriptors, the key hashing/log work
+        AND the top-K width versus nblk=2; the degree-bucketed dispatch in
+        _sample_positions_weighted sorts centers so whole buckets qualify."""
 
-    if K <= 2 * 128:
+        def single_shot(_):
+            spanS = nblk * 128
+            bids = blk0[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+            fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+            pad_m = -fl.shape[0] % 1024
+            if pad_m:
+                fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+            lanes = _gather_rows_pallas3_impl(w2, fl)[: B * nblk].reshape(
+                B, spanS
+            )
+            offs = jnp.arange(spanS, dtype=jnp.int32)[None, :] - s_lane[:, None]
+            valid = (offs >= 0) & (offs < deg[:, None])
+            offs_c = jnp.where(valid, offs, 0)
+            u = rng.rand_uniform(
+                seed,
+                jnp.broadcast_to(centers[:, None], (B, spanS)),
+                hop * _HOP_STRIDE + offs_c,
+            )
+            key = jnp.where(
+                valid & (lanes > 0),
+                jnp.log(jnp.maximum(u, 1e-20)) / lanes,
+                neg_inf,
+            )
+            topk, topi = lax.approx_max_k(
+                key, K, recall_target=1.0, aggregate_to_topk=True
+            )
+            return topk, topi.astype(jnp.int32) - s_lane[:, None]
+
+        return single_shot
+
+    need = jnp.max(s_lane + deg)
+    if K <= 128:
         best_keys, best_pos = lax.cond(
-            jnp.max(s_lane + deg) <= 2 * 128, single_shot_2blk, ladder_path,
+            need <= 128,
+            make_single_shot(1),
+            lambda _: lax.cond(
+                need <= 2 * 128, make_single_shot(2), ladder_path, None
+            ),
             None,
+        )
+    elif K <= 2 * 128:
+        best_keys, best_pos = lax.cond(
+            need <= 2 * 128, make_single_shot(2), ladder_path, None
         )
     else:
         best_keys, best_pos = ladder_path(None)
