@@ -94,3 +94,30 @@ def test_link_prediction_example_accuracy_pinned():
     assert m, proc.stdout
     acc = float(m.group(1))
     assert acc >= 75.0, f"link-prediction accuracy regressed: {acc}%\n{proc.stdout}"
+
+
+_HETERO_EXAMPLE = os.path.join(
+    os.path.dirname(__file__), "..", "examples", "hetero_node_classification.py"
+)
+
+
+@pytest.mark.slow
+def test_hetero_example_accuracy_pinned():
+    """Typed-node + typed-edge pipeline (HeteroFeatureStore -> unified-id
+    relation-typed sampling -> TypedProjection + R-GCN): pinned at >=75%
+    (measured 86.2% at these settings; random is 12.5%)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    proc = subprocess.run(
+        [sys.executable, _HETERO_EXAMPLE, "--smoke", "--epochs", "40",
+         "--seed", "0"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    acc = _test_accuracy(proc.stdout)
+    assert acc >= 75.0, f"hetero accuracy regressed: {acc}%\n{proc.stdout}"
+    assert "[EPOCH_TIME]" in proc.stdout and "relations" in proc.stdout

@@ -1,4 +1,9 @@
-from .hetero import HeteroFeatureStore, NodeTypeSpace
+from .hetero import (
+    HeteroFeatureStore,
+    NodeTypeSpace,
+    build_hetero_graph,
+    synthetic_hetero_dataset,
+)
 from .partitioned import (
     PartitionedGraph,
     degrees,
@@ -15,6 +20,8 @@ __all__ = [
     "HopSubgraph",
     "MultilayerSample",
     "NodeTypeSpace",
+    "build_hetero_graph",
+    "synthetic_hetero_dataset",
     "PartitionedGraph",
     "degrees",
     "eval_full_graph_partitioned",

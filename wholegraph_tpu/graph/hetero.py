@@ -160,3 +160,160 @@ class HeteroFeatureStore:
                 states[n], ids_n, grads_by_type[n], lr, mask=m, **kw
             )
         return out
+
+
+# ---------------------------------------------------------------------------
+# Typed-edge graph construction + a synthetic MAG240M-style task
+# ---------------------------------------------------------------------------
+
+
+def build_hetero_graph(
+    space: NodeTypeSpace,
+    edges: Dict[tuple, tuple],
+    *,
+    add_reverse_relations: bool = False,
+):
+    """Build one unified :class:`~wholegraph_tpu.graph.GraphStructure` from
+    per-relation typed edge lists — the MAG240M/OGB hetero convention
+    (reference context: the RGCN examples delegate this layout to DGL; here
+    it is first-class).
+
+    ``edges`` maps ``(src_type, relation_name, dst_type)`` to
+    ``(src_local_ids, dst_local_ids)`` numpy arrays.  Local ids are lifted
+    into the unified offset-partitioned id space and each relation gets a
+    dense relation id (iteration order of ``edges``).  With
+    ``add_reverse_relations`` every relation ``r`` also emits a distinct
+    reverse relation (id ``len(edges)+r``) with src/dst swapped — the
+    standard R-GCN message-passing symmetrisation.
+
+    Returns ``(graph, relation_names)`` where ``graph.edge_type`` holds the
+    per-edge relation ids and ``relation_names`` the id→name list.
+    """
+    from .structure import GraphStructure
+
+    srcs, dsts, rels = [], [], []
+    names = []
+    for rid, ((st, rname, dt), (s_loc, d_loc)) in enumerate(edges.items()):
+        si = space.names.index(st)
+        di = space.names.index(dt)
+        s = np.asarray(s_loc, np.int64) + space.offsets[si]
+        d = np.asarray(d_loc, np.int64) + space.offsets[di]
+        check_input(
+            (np.asarray(s_loc) < space.counts[si]).all()
+            and (np.asarray(d_loc) < space.counts[di]).all(),
+            f"relation {rname}: local ids out of range",
+        )
+        srcs.append(s)
+        dsts.append(d)
+        rels.append(np.full(len(s), rid, np.int64))
+        names.append(rname)
+    R = len(names)
+    if add_reverse_relations:
+        for rid in range(R):
+            srcs.append(dsts[rid])
+            dsts.append(srcs[rid])
+            rels.append(np.full(len(srcs[rid]), R + rid, np.int64))
+            names.append(f"rev_{names[rid]}")
+    g = GraphStructure.from_coo(
+        np.concatenate(srcs),
+        np.concatenate(dsts),
+        space.total,
+        edge_type=np.concatenate(rels),
+        num_relations=len(names),
+    )
+    return g, names
+
+
+def synthetic_hetero_dataset(
+    n_paper: int = 4000,
+    n_author: int = 1500,
+    n_inst: int = 200,
+    num_classes: int = 8,
+    dims: Optional[Dict[str, int]] = None,
+    papers_per_author: int = 4,
+    cites_per_paper: int = 8,
+    homophily: float = 0.8,
+    seed: int = 0,
+):
+    """Miniature MAG240M-shaped task for offline end-to-end runs: papers
+    carry class labels, cite same-class papers with prob ``homophily``;
+    authors write papers drawn mostly from one class pool; institutions
+    aggregate authors.  Feature signal is split across TYPES (papers carry
+    a weak class signal, authors a strong one) so a typed model must use
+    both the projection and the relational structure.
+
+    Returns a dict: space, features (per-type arrays), graph (unified
+    GraphStructure with relation-typed edges), relation names, paper
+    labels, and train/valid/test splits of paper LOCAL ids.
+    """
+    rs = np.random.RandomState(seed)
+    dims = dims or {"paper": 48, "author": 32, "inst": 16}
+    space = NodeTypeSpace.create(
+        counts={"paper": n_paper, "author": n_author, "inst": n_inst},
+        dims=dims,
+    )
+    labels = rs.randint(0, num_classes, n_paper)
+    pools = [np.where(labels == c)[0] for c in range(num_classes)]
+    pools = [p if len(p) else np.array([0]) for p in pools]
+
+    # citations: homophilous paper->paper
+    src_p = np.repeat(np.arange(n_paper), cites_per_paper)
+    same = rs.rand(len(src_p)) < homophily
+    dst_p = rs.randint(0, n_paper, len(src_p))
+    for c in range(num_classes):
+        m = same & (labels[src_p] == c)
+        dst_p[m] = pools[c][rs.randint(0, len(pools[c]), m.sum())]
+
+    # authors: each has a home class and writes papers mostly from its pool
+    author_class = rs.randint(0, num_classes, n_author)
+    a_src = np.repeat(np.arange(n_author), papers_per_author)
+    own = rs.rand(len(a_src)) < homophily
+    a_dst = rs.randint(0, n_paper, len(a_src))
+    for c in range(num_classes):
+        m = own & (author_class[a_src] == c)
+        a_dst[m] = pools[c][rs.randint(0, len(pools[c]), m.sum())]
+
+    # affiliations: author -> institution
+    i_src = np.arange(n_author)
+    i_dst = rs.randint(0, n_inst, n_author)
+
+    graph, rel_names = build_hetero_graph(
+        space,
+        {
+            ("paper", "cites", "paper"): (src_p, dst_p),
+            ("author", "writes", "paper"): (a_src, a_dst),
+            ("author", "affiliated", "inst"): (i_src, i_dst),
+        },
+        add_reverse_relations=True,
+    )
+
+    def class_signal(cls, dim, scale):
+        sig = np.zeros((len(cls), dim), np.float32)
+        sig[np.arange(len(cls)), np.asarray(cls) % dim] = scale
+        return sig
+
+    features = {
+        "paper": (
+            class_signal(labels, dims["paper"], 0.8)
+            + rs.randn(n_paper, dims["paper"]).astype(np.float32)
+        ),
+        "author": (
+            class_signal(author_class, dims["author"], 2.0)
+            + 0.5 * rs.randn(n_author, dims["author"]).astype(np.float32)
+        ),
+        "inst": rs.randn(n_inst, dims["inst"]).astype(np.float32) * 0.1,
+    }
+
+    perm = rs.permutation(n_paper)
+    n_tr = int(n_paper * 0.6)
+    n_va = int(n_paper * 0.2)
+    return {
+        "space": space,
+        "features": features,
+        "graph": graph,
+        "relations": rel_names,
+        "labels": labels,
+        "train": perm[:n_tr],
+        "valid": perm[n_tr : n_tr + n_va],
+        "test": perm[n_tr + n_va :],
+    }

@@ -1,5 +1,5 @@
 from .conv import FullGraph, GATConv, GCNConv, RGCNConv, SAGEConv
-from .gnn import HomoGNN, TypedProjection, accuracy, cross_entropy_loss, make_conv, resolve_framework
+from .gnn import HeteroGNN, HomoGNN, TypedProjection, accuracy, cross_entropy_loss, make_conv, resolve_framework
 
 __all__ = [
     "FullGraph",
@@ -7,6 +7,7 @@ __all__ = [
     "GCNConv",
     "RGCNConv",
     "SAGEConv",
+    "HeteroGNN",
     "HomoGNN",
     "TypedProjection",
     "accuracy",

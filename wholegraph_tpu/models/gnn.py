@@ -160,3 +160,53 @@ class TypedProjection(nn.Module):
             h = jnp.where(masks_by_type[name][:, None], h, 0)
             out = h if out is None else out + h
         return out
+
+
+class HeteroGNN(nn.Module):
+    """Typed-node + typed-edge GNN (the full MAG240M-style stack).
+
+    Composes :class:`TypedProjection` (per-type feature-width
+    reconciliation; input = ``HeteroFeatureStore.gather_typed`` output)
+    with the relation-aware conv stack (R-GCN by default — per-relation
+    mean aggregation over the unified typed-edge graph; any
+    :func:`make_conv` type works).  The reference covers typed edges only
+    through DGL-delegated RGCN examples and has no typed-node store
+    (SURVEY §2.2 P9/P16); here both halves are native and differentiable
+    end-to-end, including per-type sparse table updates through the typed
+    gather.
+    """
+
+    model_type: str = "rgcn"
+    hidden_dim: int = 256
+    num_classes: int = 40
+    num_layers: int = 2
+    num_relations: int = 0
+    num_heads: int = 4
+    dropout: float = 0.5
+    aggregator: str = "mean"
+
+    @nn.compact
+    def __call__(
+        self,
+        rows_by_type: dict,
+        masks_by_type: dict,
+        sample: Optional[MultilayerSample] = None,
+        graph=None,
+        train: bool = False,
+    ) -> Array:
+        x = TypedProjection(self.hidden_dim, name="typed_proj")(
+            rows_by_type, masks_by_type
+        )
+        x = nn.relu(x)
+        gnn = HomoGNN(
+            model_type=self.model_type,
+            hidden_dim=self.hidden_dim,
+            num_classes=self.num_classes,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            num_relations=self.num_relations,
+            dropout=self.dropout,
+            aggregator=self.aggregator,
+            name="gnn",
+        )
+        return gnn(x, sample=sample, graph=graph, train=train)
