@@ -570,3 +570,27 @@ def test_host_gather_spans_exact_clustered_and_scattered():
     # agreement with the per-row ring on the same batch
     out3 = np.asarray(host_gather_rows(flat, jnp.asarray(slots_np), dim=dim))
     np.testing.assert_array_equal(out, out3)
+
+
+def test_ptr_pair_fetch_matches_two_fetches_tpu():
+    """On hardware, the one-block-DMA (lo, hi) pair fetch must equal the
+    two plain element fetches for a batch large enough to engage it."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.sampling as sampling_mod
+    from wholegraph_tpu.ops.sampling import _fetch, _fetch_ptr_pairs
+
+    rs = np.random.RandomState(12)
+    n = 100_000
+    row_ptr = jnp.asarray(
+        np.concatenate([[0], np.cumsum(rs.randint(0, 40, n))]).astype(np.int32)
+    )
+    centers = jnp.asarray(rs.randint(0, n, 8192).astype(np.int32))
+    with mock.patch.object(sampling_mod, "_PTR_PAIR_FETCH", True):
+        lo, hi = _fetch_ptr_pairs(row_ptr, centers)
+    np.testing.assert_array_equal(
+        np.asarray(lo), np.asarray(_fetch(row_ptr, centers))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(_fetch(row_ptr, centers + 1))
+    )

@@ -334,3 +334,91 @@ def test_weighted_bucketed_dispatch_bitequal_cpu():
         )
     np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(ref_mask))
     np.testing.assert_array_equal(np.asarray(pos_b), np.asarray(ref_pos))
+
+
+def test_ptr_pair_fetch_bitequal_cpu():
+    """The interleaved (lo, hi) row_ptr pair fetch (TPU block path) must
+    return exactly row_ptr[c], row_ptr[c+1] — run on CPU by stubbing the
+    pallas block fetch with jnp.take."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.gather_pallas as gp
+    from wholegraph_tpu.ops.sampling import _fetch_ptr_pairs
+
+    rs = np.random.RandomState(11)
+    n = 5000
+    deg = rs.randint(0, 50, n)
+    row_ptr = jnp.asarray(
+        np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    )
+    centers = jnp.asarray(rs.randint(0, n, 4096).astype(np.int32))
+    # include the block-straddle corners: 2c at lane 126 and c = n-1
+    centers = centers.at[0].set(63).at[1].set(n - 1).at[2].set(0)
+
+    def fake_gather3(table, ids, **kw):
+        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+        return out[:, None, :] if out.ndim == 2 else out
+
+    import wholegraph_tpu.ops.sampling as sampling_mod
+
+    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch.object(sampling_mod, "_PTR_PAIR_FETCH", True), \
+         mock.patch(
+             "wholegraph_tpu.ops.sampling.jax.default_backend",
+             return_value="tpu",
+         ):
+        lo, hi = _fetch_ptr_pairs(row_ptr, centers)
+    c = np.asarray(centers)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(row_ptr)[c])
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(row_ptr)[c + 1])
+
+
+def test_col_fetch_bucketed_oneblock_bitequal_cpu():
+    """The degree-bucketed col fetch (B>=4096; 1-block single-shot for
+    buckets whose spans fit one 128-lane block, 2-block ladder otherwise)
+    must return exactly the element-path cols.  Pallas fetch stubbed with
+    jnp.take; backend mocked to tpu."""
+    from unittest import mock
+
+    import wholegraph_tpu.ops.gather_pallas as gp
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    rs = np.random.RandomState(41)
+    n = 8000
+    # mixed degrees: mostly small (1-block buckets), a tail forcing the
+    # higher buckets through the 2-block / ladder sides
+    deg = rs.randint(1, 30, n)
+    deg[rs.choice(n, 40, replace=False)] = rs.randint(200, 500, 40)
+    row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    col = rs.randint(0, n, int(row_ptr[-1])).astype(np.int32)
+    centers = rs.randint(0, n, 4096).astype(np.int32)
+    K = 7
+
+    ref = csr_sample_neighbors(
+        jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,
+        seed=2,
+    )
+
+    def fake_gather3(table, ids, **kw):
+        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+        return out[:, None, :] if out.ndim == 2 else out
+
+    import wholegraph_tpu.ops.sampling as sampling_mod
+
+    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch.object(sampling_mod, "_COL_FETCH_BUCKETS", 4), \
+         mock.patch(
+             "wholegraph_tpu.ops.sampling.jax.default_backend",
+             return_value="tpu",
+         ):
+        res = csr_sample_neighbors(
+            jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,
+            seed=2, max_degree=1024,
+        )
+    np.testing.assert_array_equal(np.asarray(res.mask), np.asarray(ref.mask))
+    np.testing.assert_array_equal(
+        np.asarray(res.positions), np.asarray(ref.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.neighbors), np.asarray(ref.neighbors)
+    )

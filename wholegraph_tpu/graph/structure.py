@@ -272,11 +272,12 @@ class GraphStructure:
             next_mask = (uids >= 0) & (uids < n)
             node_degree = None
             if with_degrees:
-                from ..ops.sampling import _fetch
+                from ..ops.sampling import _fetch_ptr_pairs
 
                 safe = jnp.where(next_mask, uids, 0).astype(jnp.int32)
-                d0 = _fetch(self.row_ptr, safe, **(gather_kwargs or {}))
-                d1 = _fetch(self.row_ptr, safe + 1, **(gather_kwargs or {}))
+                d0, d1 = _fetch_ptr_pairs(
+                    self.row_ptr, safe, **(gather_kwargs or {})
+                )
                 node_degree = jnp.where(
                     next_mask, (d1 - d0).astype(jnp.int32), 0
                 )

@@ -92,6 +92,63 @@ def _fetch_elements(src: TableLike, ids: Array, **kw) -> Array:
     return _fetch(src, ids, **kw)
 
 
+# Interleaved (lo, hi) row_ptr pair fetch: OFF by default pending a clean
+# hardware A/B — the round-3b sweep that bundled it with the (reverted)
+# bucketed col fetch measured the uniform sampler at ~120 vs 194 Medges/s
+# and the isolating run could not be completed before the round closed.
+# Bit-equality is CPU-proven (test_ptr_pair_fetch_bitequal_cpu); flip to
+# True to fetch both row_ptr ends with ONE block DMA per center.
+_PTR_PAIR_FETCH = False
+
+
+def _fetch_ptr_pairs(row_ptr: TableLike, centers: Array, **kw):
+    """(row_ptr[c], row_ptr[c+1]) for every center in ONE block fetch.
+
+    The two scalar gathers are each issue-bound (~13 ns/element via XLA, or
+    one 128-lane block DMA per element via the pallas path) and together
+    were ~1/3 of the uniform sampler's step time.  Interleaving the pairs
+    ``[lo_0, hi_0, lo_1, hi_1, ...]`` puts every center's pair at lanes
+    (2c)&127 and (2c)&127 + 1 of the SAME 128-lane block (2c is even, so
+    lane <= 126 — the pair never straddles a block), so one pallas block
+    DMA per center serves both ends.  The [2N] interleave build is a
+    streaming copy XLA fuses (~8 MB at N=2M, negligible vs the per-element
+    gathers it replaces)."""
+    if (
+        _PTR_PAIR_FETCH
+        and not hasattr(row_ptr, "gather")
+        and jax.default_backend() == "tpu"
+        and row_ptr.ndim == 1
+        and centers.ndim == 1
+        and centers.shape[0] >= 4096
+    ):
+        from .gather_pallas import _gather_rows_pallas3_impl
+
+        N = row_ptr.shape[0] - 1
+        pairs = jnp.stack([row_ptr[:-1], row_ptr[1:]], axis=1).reshape(-1)
+        pad_e = -pairs.shape[0] % 128
+        if pad_e:
+            pairs = jnp.concatenate(
+                [pairs, jnp.zeros((pad_e,), pairs.dtype)]
+            )
+        p2 = pairs.reshape(-1, 128)
+        idc = 2 * jnp.clip(centers.astype(jnp.int32), 0, N - 1)
+        blk = idc >> 7
+        lane = idc & 127
+        B = centers.shape[0]
+        pad_m = -B % 1024
+        if pad_m:
+            blk = jnp.concatenate([blk, jnp.zeros((pad_m,), blk.dtype)])
+        rows = _gather_rows_pallas3_impl(p2, blk)[:B, 0, :]  # [B, 128]
+        li = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        lo = jnp.sum(jnp.where(li == lane[:, None], rows, 0), axis=1)
+        hi = jnp.sum(jnp.where(li == lane[:, None] + 1, rows, 0), axis=1)
+        return lo.astype(row_ptr.dtype), hi.astype(row_ptr.dtype)
+    return (
+        _fetch(row_ptr, centers, **kw),
+        _fetch(row_ptr, centers + 1, **kw),
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SampleResult:
@@ -481,8 +538,7 @@ def csr_sample_neighbors(
             "edge offsets fit in int32 (x64 is disabled)"
         )
     centers = centers.astype(jnp.int32)
-    ptr_lo = _fetch(row_ptr, centers, **kw)
-    ptr_hi = _fetch(row_ptr, centers + 1, **kw)
+    ptr_lo, ptr_hi = _fetch_ptr_pairs(row_ptr, centers, **kw)
     start = ptr_lo.astype(jnp.int32)
     deg = (ptr_hi - ptr_lo).astype(jnp.int32)
 
@@ -503,6 +559,14 @@ def csr_sample_neighbors(
 
 _NB_COL = 2  # 128-lane col blocks fetched per center per ladder iteration
 
+# Degree-bucketed col fetch: >1 sorts centers by span need into that many
+# equal buckets so low-lane buckets ride the 1-block single-shot.  OFF by
+# default (1): unlike the weighted sampler (whose per-step cost amortises
+# the argsort), the uniform sampler's ~5 ms step cannot — measured on v5e,
+# the batch-wide argsort+scatter costs more than the halved col DMA/select
+# saves.  The batch-global 1-block lax.cond below is sort-free and stays.
+_COL_FETCH_BUCKETS = 1
+
 
 def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):
     """col[start[b] + pos[b, k]] for the sampled positions.
@@ -514,7 +578,42 @@ def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):
     15 on low-degree batches.  A lax.cond picks the cheaper side from the
     BATCH's actual span (the ladder is batch-global: one high-degree center
     forces every center through all its iterations, so wide batches fall
-    back to per-element fetches)."""
+    back to per-element fetches).  Large batches are degree-bucketed first
+    (sorted by span need into 4 equal buckets, mirroring the weighted
+    dispatch): buckets whose whole span fits ONE block take a single-shot
+    1-block select — half the DMA descriptors AND half the [B, K, span]
+    one-hot select work of the 2-block ladder floor."""
+    B, K = pos.shape
+    use_bucketed = (
+        _COL_FETCH_BUCKETS > 1
+        and not hasattr(col, "gather")
+        and jax.default_backend() == "tpu"
+        and max_degree is not None
+        and 0 < int(max_degree) < 2**24
+        and B >= 4096
+        and B % _COL_FETCH_BUCKETS == 0
+    )
+    if use_bucketed:
+        need = (start & 127) + deg
+        order = jnp.argsort(need)
+        G = _COL_FETCH_BUCKETS
+        Bg = B // G
+        parts = []
+        for g in range(G):
+            sl = order[g * Bg:(g + 1) * Bg]
+            parts.append(
+                _fetch_cols_block(
+                    col, start[sl], deg[sl], pos[sl], mask[sl], max_degree,
+                    **kw,
+                )
+            )
+        return (
+            jnp.zeros((B, K), jnp.int32).at[order].set(jnp.concatenate(parts))
+        )
+    return _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw)
+
+
+def _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw):
     B, K = pos.shape
     edge_ids = start[:, None] + pos
     flat = jnp.where(mask, edge_ids, 0).reshape(-1)
@@ -574,4 +673,24 @@ def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):
     def block_path(_):
         return _ladder_run(body, jnp.zeros((B, K), jnp.int32), total_iters, needed)
 
-    return lax.cond(needed * _NB_COL <= K, block_path, element_path, None)
+    def one_block_path(_):
+        """Whole batch's spans inside each center's FIRST enclosing block:
+        one DMA descriptor per center and a [B, K, 128] select — half the
+        2-block ladder floor on both axes."""
+        fl = jnp.clip(blk0, 0, nblk_tab - 1)
+        pad_m = -fl.shape[0] % 1024
+        if pad_m:
+            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+        lanes = _gather_rows_pallas3_impl(c2, fl)[:B, 0, :]  # [B, 128]
+        onehot = eidx[:, :, None] == jnp.arange(128, dtype=jnp.int32)[
+            None, None, :
+        ]
+        return jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+
+    fits_one = jnp.max(s_lane + jnp.maximum(deg, 1)) <= 128
+    return lax.cond(
+        fits_one,
+        one_block_path,
+        lambda _: lax.cond(needed * _NB_COL <= K, block_path, element_path, None),
+        None,
+    )
