@@ -594,3 +594,26 @@ def test_ptr_pair_fetch_matches_two_fetches_tpu():
     np.testing.assert_array_equal(
         np.asarray(hi), np.asarray(_fetch(row_ptr, centers + 1))
     )
+
+
+def test_col_one_block_path_matches_element_path_tpu():
+    """Aligned constant-degree CSR (start = 16*c => s_lane + deg <= 128
+    batch-wide) engages the sort-free 1-block col fetch: results must be
+    bit-identical to the per-element path (positions are max_degree-
+    independent, so the two calls differ only in the col kernel)."""
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    n, d, K = 4000, 16, 8
+    row_ptr = np.arange(n + 1, dtype=np.int32) * d
+    col = np.random.RandomState(21).randint(0, n, n * d).astype(np.int32)
+    centers = np.random.RandomState(22).randint(0, n, 1024).astype(np.int32)
+    args = (jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K)
+    res_e = csr_sample_neighbors(*args, seed=4)  # no max_degree -> element
+    res_b = csr_sample_neighbors(*args, seed=4, max_degree=4096)  # 1-block
+    np.testing.assert_array_equal(np.asarray(res_e.mask), np.asarray(res_b.mask))
+    np.testing.assert_array_equal(
+        np.asarray(res_e.positions), np.asarray(res_b.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_e.neighbors), np.asarray(res_b.neighbors)
+    )
