@@ -97,16 +97,18 @@ def main():
         n_full = len(idx) // bs
         for i in range(max(n_full, 1)):
             part = idx[i * bs:(i + 1) * bs]
+            n_valid = len(part)
             if len(part) < bs:
                 part = np.pad(part, (0, bs - len(part)), mode="edge")
             yield (
                 put(part.astype(np.int32), P("data")),
                 put(labels_all[part].astype(np.int32), P("data")),
+                n_valid,
             )
 
     # init params from one sampled batch (paper local ids ARE global ids:
     # papers sit at offset 0 of the unified space)
-    centers0, labels0 = next(batches(ds["train"], args.batchsize, args.seed))
+    centers0, labels0, _ = next(batches(ds["train"], args.batchsize, args.seed))
     ml0 = g.multilayer_sample(centers0, fanouts, seed=0)
     rows0, masks0 = store.gather_typed(states, ml0.unique_gids)
     params = model.init(jax.random.PRNGKey(args.seed), rows0, masks0, sample=ml0)
@@ -142,22 +144,28 @@ def main():
         ml = g.multilayer_sample(centers, fanouts, seed=0)
         rows, masks = store.gather_typed(states, ml.unique_gids)
         logits = model.apply(params, rows, masks, sample=ml, train=False)
-        return cross_entropy_loss(logits, labels), accuracy(logits, labels)
+        # Per-sample outputs so padded slots can be excluded by the caller.
+        correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+        return cross_entropy_loss(logits, labels), correct
 
     def run_eval(split, bs):
-        losses, accs = [], []
-        for centers, labels in batches(split, bs, 0, shuffle=False):
-            loss, acc = eval_step(params, states, centers, labels)
-            losses.append(float(loss))
-            accs.append(float(acc))
-        return float(np.mean(losses)), float(np.mean(accs))
+        # Sample-weighted: edge-mode padding duplicates real samples at the
+        # tail of the last batch — drop those slots from the reduction.
+        loss_sum = correct_sum = n_sum = 0.0
+        for centers, labels, n_valid in batches(split, bs, 0, shuffle=False):
+            loss, correct = eval_step(params, states, centers, labels)
+            correct = np.asarray(correct)[:n_valid]
+            loss_sum += float(loss) * n_valid  # batch-mean loss, ~exact
+            correct_sum += float(correct.sum())
+            n_sum += n_valid
+        return loss_sum / n_sum, correct_sum / n_sum
 
     train_start = time.perf_counter()
     step = 0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         ep_losses = []
-        for centers, labels in batches(
+        for centers, labels, _ in batches(
             ds["train"], args.batchsize, args.seed + epoch
         ):
             params, states, opt_state, loss, acc = train_step(

@@ -15,9 +15,11 @@ size the collective exchange for only the expected cold fraction.
 
 Semantics match the reference's READONLY cache mode: the cached table must
 not be written through the cache (writeback/drop_all are trivial here —
-rebuild).  Cold ids beyond ``cold_capacity`` are dropped (zero rows), the
-same capacity trade as the a2a bucketing; size ``cold_capacity_factor`` for
-your miss rate.
+rebuild).  Cold ids are served EXACTLY: misses beyond ``cold_capacity`` are
+fetched in additional multi-round a2a waves under ``lax.while_loop`` (no
+silent drops — see ``gather_cached``'s wave loop below); ``cold_capacity``
+only sizes the per-wave buffer, so undersizing it costs extra rounds, never
+correctness.
 """
 
 from __future__ import annotations

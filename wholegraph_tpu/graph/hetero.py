@@ -198,9 +198,18 @@ def build_hetero_graph(
         di = space.names.index(dt)
         s = np.asarray(s_loc, np.int64) + space.offsets[si]
         d = np.asarray(d_loc, np.int64) + space.offsets[di]
+        s_arr = np.asarray(s_loc)
+        d_arr = np.asarray(d_loc)
         check_input(
-            (np.asarray(s_loc) < space.counts[si]).all()
-            and (np.asarray(d_loc) < space.counts[di]).all(),
+            len(s_arr) == len(d_arr),
+            f"relation {rname}: src/dst length mismatch "
+            f"({len(s_arr)} vs {len(d_arr)})",
+        )
+        check_input(
+            (s_arr >= 0).all()
+            and (d_arr >= 0).all()
+            and (s_arr < space.counts[si]).all()
+            and (d_arr < space.counts[di]).all(),
             f"relation {rname}: local ids out of range",
         )
         srcs.append(s)

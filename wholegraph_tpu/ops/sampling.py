@@ -120,6 +120,8 @@ def _fetch_ptr_pairs(row_ptr: TableLike, centers: Array, **kw):
         and row_ptr.ndim == 1
         and centers.ndim == 1
         and centers.shape[0] >= 4096
+        # 2*c below must stay in int32: guard the id range.
+        and row_ptr.shape[0] <= 2**30
     ):
         from .gather_pallas import _gather_rows_pallas3_impl
 
@@ -142,6 +144,10 @@ def _fetch_ptr_pairs(row_ptr: TableLike, centers: Array, **kw):
         li = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
         lo = jnp.sum(jnp.where(li == lane[:, None], rows, 0), axis=1)
         hi = jnp.sum(jnp.where(li == lane[:, None] + 1, rows, 0), axis=1)
+        # Match the fallback's semantics for out-of-range centers: degree 0
+        # (the clip above would otherwise alias c >= N onto node N-1).
+        oob = (centers < 0) | (centers >= N)
+        hi = jnp.where(oob, lo, hi)
         return lo.astype(row_ptr.dtype), hi.astype(row_ptr.dtype)
     return (
         _fetch(row_ptr, centers, **kw),
