@@ -275,24 +275,42 @@ def bench_apply(n_rows=1_000_000, dim=256, batch=1 << 17, iters=8):
 
 
 def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
-                   weighted=False):
+                   weighted=False, aligned=False):
     """Neighbor-sampling throughput (edges/s) — the reference's sampler
-    bench dimension (cpp/tests/wholegraph_ops parameterized perf)."""
+    bench dimension (cpp/tests/wholegraph_ops parameterized perf).
+
+    Default CSR is UNALIGNED MIXED-DEGREE (deg/2..3*deg/2, mean ``deg``):
+    the r3 bench's ``arange*32`` layout made every center satisfy the
+    batch-global 1-block fast-path predicate by construction (start%128+deg
+    <= 128 always), so the recorded number structurally rode the best case
+    (VERDICT r3).  ``aligned=True`` keeps that layout for A/B against old
+    rounds; the production number is the mixed one."""
+    import numpy as np
+
     from wholegraph_tpu.ops.sampling import csr_sample_neighbors
 
-    row_ptr = jnp.arange(n_rows + 1, dtype=jnp.int32) * deg
+    if aligned:
+        row_ptr = jnp.arange(n_rows + 1, dtype=jnp.int32) * deg
+        n_edges = n_rows * deg
+    else:
+        degs = np.random.RandomState(1).randint(
+            deg // 2, deg + deg // 2 + 1, n_rows
+        )
+        rp = np.concatenate([[0], np.cumsum(degs)]).astype(np.int32)
+        row_ptr = jnp.asarray(rp)
+        n_edges = int(rp[-1])
 
     @jax.jit
     def make_col():
         return jax.random.randint(
-            jax.random.PRNGKey(0), (n_rows * deg,), 0, n_rows, dtype=jnp.int32
+            jax.random.PRNGKey(0), (n_edges,), 0, n_rows, dtype=jnp.int32
         )
 
     col = make_col()
     weights = None
     if weighted:
         weights = jax.jit(
-            lambda: jax.random.uniform(jax.random.PRNGKey(1), (n_rows * deg,)) + 0.1
+            lambda: jax.random.uniform(jax.random.PRNGKey(1), (n_edges,)) + 0.1
         )()
 
     def step(i, col, *w):
@@ -364,6 +382,102 @@ def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     return E / dt, dt
 
 
+def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
+                     hidden=256, num_classes=16, iters=8):
+    """End-to-end sampled train step: 2-layer SAGE, B=1024, TRAINABLE
+    embedding (multilayer sample -> unique gather -> fwd/bwd -> dense adam +
+    sparse LazyAdam apply) — the reference's per-iteration training cost
+    ([EPOCH_TIME]/step, examples/node_classfication.py:112-122).
+
+    Returns (ms_per_step, sol_fraction).  SoL proxy: the step's unavoidable
+    HBM row moves = U unique rows x (2 gather + 2 grad write/read + 6
+    optimizer moves) x dim x 4 B at HBM peak, where U is measured once from
+    a probe batch — everything else (sampling, dense model) is assumed
+    free.  Composes the very kernels the other metrics measure; this metric
+    keeps the README's end-to-end row driver-verifiable."""
+    import numpy as np
+    import optax
+
+    import wholegraph_tpu as wg
+    from wholegraph_tpu.embedding import Embedding, create_optimizer
+    from wholegraph_tpu.graph import GraphStructure
+    from wholegraph_tpu.models import HomoGNN, cross_entropy_loss
+
+    fanouts = (10, 15)
+    degs = np.random.RandomState(1).randint(deg // 2, deg + deg // 2 + 1, n_nodes)
+    rp = np.concatenate([[0], np.cumsum(degs)]).astype(np.int32)
+    E = int(rp[-1])
+    g = GraphStructure(
+        row_ptr=jnp.asarray(rp),
+        col=jax.jit(lambda: jax.random.randint(
+            jax.random.PRNGKey(0), (E,), 0, n_nodes, dtype=jnp.int32))(),
+        node_count=n_nodes, edge_count=E, max_degree=int(degs.max()),
+    )
+    mesh = wg.parallel.launch.init()
+    emb = Embedding.create(mesh, n_nodes, dim, optimizer=create_optimizer("lazy_adam"))
+    estate = emb.init(jax.random.PRNGKey(0))
+    labels_tab = jax.jit(lambda: jax.random.randint(
+        jax.random.PRNGKey(2), (n_nodes,), 0, num_classes, dtype=jnp.int32))()
+    model = HomoGNN(model_type="sage", hidden_dim=hidden,
+                    num_classes=num_classes, num_layers=2)
+
+    def sample_and_ids(centers, seed):
+        ml = g.multilayer_sample(centers, list(fanouts), seed=seed)
+        return ml, ml.unique_gids
+
+    centers0 = jax.jit(lambda: jax.random.randint(
+        jax.random.PRNGKey(3), (batch,), 0, n_nodes, dtype=jnp.int32))()
+    ml0, ids0 = jax.jit(sample_and_ids)(centers0, 0)
+    U = int(ids0.shape[0])
+    rows0 = emb.gather(estate, ids0)
+    params = model.init(jax.random.PRNGKey(0), rows0, sample=ml0)
+    dense_opt = optax.adam(1e-3)
+    opt_state0 = dense_opt.init(params)
+
+    def body(i, params, estate, opt_state):
+        centers = jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(4), i), (batch,), 0,
+            n_nodes, dtype=jnp.int32)
+        ml = g.multilayer_sample(centers, list(fanouts), seed=i)
+        ids = ml.unique_gids
+        labels = jnp.take(labels_tab, centers, mode="clip")
+        rows = emb.gather(estate, ids) * ml.unique_mask[:, None]
+
+        def loss_fn(p, r):
+            return cross_entropy_loss(model.apply(p, r, sample=ml), labels)
+
+        loss, (dp, dr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, rows)
+        updates, opt_state = dense_opt.update(dp, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        estate = emb.apply_gradients(estate, ids, dr, 1e-3, mask=ml.unique_mask)
+        return params, estate, opt_state, loss
+
+    @jax.jit
+    def chain(n, params, estate, opt_state):
+        def step(i, carry):
+            params, estate, opt_state, acc = carry
+            ii, acc = jax.lax.optimization_barrier((i, acc))
+            params, estate, opt_state, loss = body(ii, params, estate, opt_state)
+            return params, estate, opt_state, acc + loss
+
+        return jax.lax.fori_loop(
+            0, n, step, (params, estate, opt_state, jnp.float32(0))
+        )[3]
+
+    import time as _time
+
+    float(chain(1, params, estate, opt_state0))  # compile + warm
+    t0 = _time.perf_counter()
+    float(chain(1, params, estate, opt_state0))
+    base = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    float(chain(1 + iters, params, estate, opt_state0))
+    dt = max((_time.perf_counter() - t0 - base) / iters, 1e-9)
+
+    sol_t = U * dim * 4 * 10 / (detect_hbm_gbps() * 1e9)
+    return dt * 1e3, sol_t / dt
+
+
 def bench_scaling(n_rows=500_000, dim=128, batch_per_dev=1 << 14, iters=6):
     """Weak-scaling efficiency of the distributed gather: edges-of-work/s on
     the full mesh vs world * single-device rate (the BASELINE >=80% target;
@@ -409,7 +523,7 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "spmm_clustered",
-            "scaling", "host_gather", "host_gather_sorted",
+            "scaling", "host_gather", "host_gather_sorted", "train_step",
         ],
         help="default gather_sorted: the production embedding-gather path on "
         "a deduped+sorted batch (what Embedding.gather receives from "
@@ -422,6 +536,11 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--aligned-csr", action="store_true",
+                    help="sampling metrics only: use the r3 aligned "
+                    "arange*deg CSR (every center rides the 1-block fast "
+                    "path by construction) instead of the honest unaligned "
+                    "mixed-degree default")
     ap.add_argument("--trace", default="",
                     help="capture a jax.profiler trace of the measured "
                          "region into this directory (TensorBoard/xprof "
@@ -449,6 +568,7 @@ def main():
         eps, dt = bench_sampling(
             n_rows=min(args.rows, 2_000_000), batch=min(args.batch, 1 << 16),
             iters=args.iters, weighted=args.metric == "weighted_sampling",
+            aligned=args.aligned_csr,
         )
         print(json.dumps({
             "metric": f"{args.metric}_throughput",
@@ -500,6 +620,18 @@ def main():
             "value": round(rps / 1e6, 3),
             "unit": "Mrows/s",
             "vs_baseline": round(rps / sol_rps, 4),
+        }))
+        return
+    if args.metric == "train_step":
+        kw = dict(iters=args.iters)
+        if backend == "cpu":
+            kw = dict(n_nodes=50_000, batch=256, iters=3)
+        ms, solf = bench_train_step(**kw)
+        print(json.dumps({
+            "metric": "train_step_time",
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(solf, 4),
         }))
         return
     if args.metric == "scaling":

@@ -131,3 +131,100 @@ def test_refresh_hot_cache(mesh8):
     tab2 = ShardedTable.from_array(mesh8, ref * 2)
     cache2 = refresh_hot_cache(tab2, cache)
     np.testing.assert_allclose(np.asarray(cache2.values), ref[::2] * 2)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-adaptive admission (reference LFU analog, VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_touch_counter_and_adaptive_refresh(mesh8):
+    from wholegraph_tpu.embedding.cache import (
+        TouchCounter,
+        cache_hit_fraction,
+        hot_ids_by_count,
+        make_touch_counter,
+        refresh_hot_cache_adaptive,
+        touch,
+    )
+
+    n, dim, H = 800, 16, 80
+    ref = deterministic_rows(n, dim)
+    tab = ShardedTable.from_array(mesh8, ref)
+    # degree predicts ids 0..H-1 hot; the ACTUAL access distribution
+    # concentrates on a disjoint random set
+    degree_hot = np.arange(H)
+    cache = build_hot_cache(tab, degree_hot)
+    rng = np.random.RandomState(3)
+    true_hot = rng.choice(np.arange(H, n), H, replace=False)
+
+    counter = make_touch_counter(n)
+
+    @jax.jit
+    def step(counter, ids, mask):
+        return touch(counter, ids, mask)
+
+    B = 256
+    batches = []
+    for i in range(8):
+        rs = np.random.RandomState(10 + i)
+        ids = np.where(
+            rs.rand(B) < 0.9, rs.choice(true_hot, B), rs.randint(0, n, B)
+        ).astype(np.int32)
+        batches.append(ids)
+        mask = np.ones(B, bool)
+        mask[-7:] = False  # padding slots must not count
+        counter = step(counter, jnp.asarray(ids), jnp.asarray(mask))
+
+    counts = np.asarray(counter.counts)
+    assert counts.sum() == 8 * (B - 7)
+    # adaptive refresh converges on the true hot set
+    new_cache, counter2 = refresh_hot_cache_adaptive(tab, cache, counter)
+    assert new_cache.size == cache.size
+    probe = batches[-1]
+    assert cache_hit_fraction(cache, jnp.asarray(probe)) < 0.2
+    assert cache_hit_fraction(new_cache, jnp.asarray(probe)) > 0.7
+    # counters aged
+    assert np.asarray(counter2.counts).sum() <= counts.sum() // 2 + n
+    # correctness: cached gather after refresh still exact
+    ids_dev = jax.device_put(
+        jnp.asarray(probe), NamedSharding(mesh8, P("data"))
+    )
+    out = gather_with_cache(tab, new_cache, ids_dev, cold_capacity_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out), ref[probe], rtol=1e-6)
+    # top-count selection is exactly the most-touched rows
+    hot_sel = hot_ids_by_count(counter, H)
+    top = np.sort(np.argpartition(counts, -H)[-H:])
+    assert np.array_equal(np.sort(hot_sel), top)
+    assert isinstance(counter, TouchCounter)
+
+
+def test_host_embedding_rebuild_cache(mesh8):
+    from wholegraph_tpu.embedding.cache import hot_ids_by_count, make_touch_counter, touch
+    from wholegraph_tpu.embedding.host_embedding import HostEmbedding
+
+    n, dim = 512, 16
+    ref = deterministic_rows(n, dim)
+    emb = HostEmbedding.create(mesh8, n, dim, cache_ratio=0.2)
+    degree_hot = np.arange(32)
+    state = emb.from_array(ref, hot_ids=degree_hot)
+
+    rng = np.random.RandomState(4)
+    true_hot = rng.choice(np.arange(64, n), 64, replace=False)
+    counter = make_touch_counter(n)
+    for i in range(4):
+        rs = np.random.RandomState(20 + i)
+        ids = rs.choice(true_hot, 256).astype(np.int32)
+        counter = jax.jit(touch)(counter, jnp.asarray(ids))
+
+    probe = np.random.RandomState(30).choice(true_hot, 256).astype(np.int32)
+    before = emb.cache_hit_fraction(state, probe)
+    state2 = emb.rebuild_cache(state, hot_ids_by_count(counter, 8 * emb.hot_cap))
+    after = emb.cache_hit_fraction(state2, probe)
+    assert before < 0.2 and after > 0.5, (before, after)
+    # gather stays exact through the rebuilt cache
+    ids_dev = jax.device_put(
+        jnp.asarray(probe), NamedSharding(mesh8, P("data"))
+    )
+    out = emb.gather(state2, ids_dev)
+    np.testing.assert_allclose(np.asarray(out), ref[probe], rtol=1e-6)

@@ -119,6 +119,97 @@ def hot_ids_by_degree(row_ptr: np.ndarray, ratio: float) -> np.ndarray:
     return np.sort(np.argpartition(deg, -h)[-h:])
 
 
+# ---------------------------------------------------------------------------
+# Frequency-adaptive admission (the reference LFU's steady-state behavior)
+# ---------------------------------------------------------------------------
+#
+# The reference cache LEARNS the hot set online: per-access 14-bit scaled LFU
+# counters + per-batch admission (reference: embedding_cache_func.cu:118
+# ComputeCacheSetLocalID, :210 UpdateCacheDirectKernel).  Per-batch dynamic
+# admission cannot shrink static-shape wire traffic on TPU (docs/DESIGN.md),
+# but the LFU's *steady state* — cache the most-frequently-accessed rows —
+# is reachable with static shapes: a jit-traced touch counter (one
+# scatter-add per gather batch) + periodic counter-driven re-selection of
+# the replicated hot set.  On access distributions that degree does not
+# predict, the refreshed hot set converges to the true hot rows within one
+# refresh period (tests/test_cache.py::test_adaptive_refresh_beats_degree).
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TouchCounter:
+    """Per-row access counts (replicated).  4 B/row — the whole-node analog
+    of the reference's per-cache-line 14-bit counters; aging happens at
+    refresh time via :func:`decay` (the reference scales counters down when
+    they saturate, embedding_cache.hpp:52-112)."""
+
+    counts: Array  # [n] int32
+
+    def tree_flatten(self):
+        return (self.counts,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+def make_touch_counter(n: int, mesh=None) -> TouchCounter:
+    z = jnp.zeros((n,), jnp.int32)
+    if mesh is not None:
+        z = jax.device_put(z, NamedSharding(mesh, P()))
+    return TouchCounter(z)
+
+
+def touch(counter: TouchCounter, ids: Array, mask: Array | None = None) -> TouchCounter:
+    """Record one access per (valid) id — call inside the jitted train step
+    right where the gather happens; one scatter-add, no host sync."""
+    n = counter.counts.shape[0]
+    ids32 = jnp.asarray(ids).astype(jnp.int32).reshape(-1)
+    if mask is not None:
+        ids32 = jnp.where(mask.reshape(-1), ids32, n)  # park padding off-table
+    return TouchCounter(counter.counts.at[ids32].add(1, mode="drop"))
+
+
+def decay(counter: TouchCounter, factor: int = 2) -> TouchCounter:
+    """Age the counters (periodic scale-down, like the reference's scaled
+    LFU) so the hot set can track distribution shift."""
+    return TouchCounter(counter.counts // factor)
+
+
+def hot_ids_by_count(counter: TouchCounter, size: int) -> np.ndarray:
+    """Top-``size`` most-touched row ids (host-side; refresh-time only)."""
+    from ..parallel.collectives import fetch_global
+
+    c = np.asarray(fetch_global(counter.counts))
+    size = min(max(int(size), 1), len(c))
+    return np.sort(np.argpartition(c, -size)[-size:])
+
+
+def refresh_hot_cache_adaptive(
+    table: ShardedTable, cache: HotCache, counter: TouchCounter,
+    *, decay_factor: int = 2,
+):
+    """Periodic counter-driven re-admission: replace the hot set with the
+    currently most-touched rows (same capacity), re-fill from the table,
+    and age the counters.  Call between epochs (or every k steps) — the
+    static-shape schedule of the reference's per-batch LFU admission.
+    Returns ``(new_cache, aged_counter)``."""
+    new_cache = build_hot_cache(table, hot_ids_by_count(counter, cache.size))
+    return new_cache, decay(counter, decay_factor)
+
+
+def cache_hit_fraction(cache: HotCache, ids) -> float:
+    """Fraction of ``ids`` served by (valid lines of) the hot replica —
+    the observability hook the reference exposes via cache statistics."""
+    from ..parallel.collectives import fetch_global
+
+    hot = np.asarray(fetch_global(cache.hot_ids))
+    valid = np.asarray(fetch_global(cache.valid))
+    ids_np = np.asarray(fetch_global(jnp.asarray(ids))).reshape(-1)
+    pos = np.minimum(np.searchsorted(hot, ids_np), len(hot) - 1)
+    return float(np.mean((hot[pos] == ids_np) & valid[pos]))
+
+
 def _gather_cached_shard(
     shard: Array,
     hot_ids: Array,

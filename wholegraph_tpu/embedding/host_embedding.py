@@ -445,6 +445,42 @@ class HostEmbedding:
         phys = self.plan.physical_index_np(np.asarray(ids, np.int64))
         return float((np.asarray(cmap)[phys] >= 0).mean())
 
+    def rebuild_cache(
+        self, state: HostEmbeddingState, hot_ids: np.ndarray
+    ) -> HostEmbeddingState:
+        """Re-select the device-cached rows (periodic, host-side): new
+        cache_map/cache_rows filled from the CURRENT host table — host
+        shards, optimizer slots and step are untouched, so the coherence
+        invariant (cache == host for cached slots) holds by construction.
+        With :class:`~.cache.TouchCounter` + :func:`~.cache.hot_ids_by_count`
+        this is the frequency-adaptive admission the reference's LFU
+        converges to (embedding_cache_func.cu:118-210); with
+        ``hot_ids_by_degree`` it is a static re-warm."""
+        arr = self.to_array(state)
+        plan = self.plan
+        cmap = np.full((plan.total_physical_rows,), -1, np.int32)
+        crows = np.zeros((plan.world * self.hot_cap, self.dim), arr.dtype)
+        if hot_ids is not None and len(hot_ids):
+            hot_ids = np.unique(np.asarray(hot_ids, np.int64))
+            check_input(
+                hot_ids[0] >= 0 and hot_ids[-1] < plan.n, "hot id out of range"
+            )
+            pidx = plan.physical_index_np(hot_ids)
+            owner = pidx // plan.capacity
+            slot = pidx % plan.capacity
+            for s in range(plan.world):
+                sel = np.nonzero(owner == s)[0][: self.hot_cap]
+                lines = np.arange(len(sel), dtype=np.int32)
+                cmap[s * plan.capacity + slot[sel]] = lines
+                crows[s * self.hot_cap + lines] = arr[hot_ids[sel]]
+        cache_map = jax.device_put(cmap, self._sharding(P(self.axis)))
+        cache_rows = jax.device_put(
+            crows.astype(np.dtype(self.dtype)), self._sharding(P(self.axis, None))
+        )
+        return HostEmbeddingState(
+            state.host_table, state.host_slots, cache_map, cache_rows, state.step
+        )
+
 
 @functools.lru_cache(maxsize=None)
 def _build_host_gather_fn(emb: HostEmbedding, cap: int):
