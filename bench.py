@@ -350,14 +350,16 @@ def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
 
 
 def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
-    """Full-graph SpMM over a LOCALITY-ORDERED CSR through the dense-tile
-    MXU kernel (ops/spmm.py spmm_tiled): per destination tile, the whole
-    aggregation is two matmuls (one-hot adjacency build + window slab),
-    sidestepping the ~8 ns/edge DMA-descriptor floor that caps the random-
-    edge padded path (see DESIGN.md negative record)."""
+    """Full-graph SpMM over a LOCALITY-ORDERED CSR through the fused pallas
+    windowed kernel (ops/spmm_pallas.py spmm_window): per destination tile,
+    one window slab DMA + in-VMEM int8 one-hot adjacency build on the MXU +
+    A @ window matmul, sidestepping BOTH the ~8 ns/edge DMA-descriptor floor
+    of the random-edge padded path AND the HBM one-hot materialization that
+    capped the XLA spmm_tiled at 14.9 Medges/s (DESIGN.md records)."""
     import numpy as np
 
-    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm_tiled
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles
+    from wholegraph_tpu.ops.spmm_pallas import spmm_window
 
     rs = np.random.RandomState(0)
     counts = rs.randint(max(deg // 2, 1), deg * 2, n)
@@ -367,14 +369,15 @@ def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
         + rs.randint(-width // 2, width // 2 + 1, int(row_ptr[-1]))
     ).clip(0, n - 1).astype(np.int32)
     E = int(row_ptr[-1])
-    window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=512)
+    tile = 256
+    window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=tile)
     rp_d, col_d = jnp.asarray(row_ptr), jnp.asarray(col)
     x = jax.jit(lambda: jnp.ones((n, dim), jnp.float32))()
 
     def step(i, rp_d, col_d, x):
-        out = spmm_tiled(
+        out = spmm_window(
             rp_d, col_d, x * (1.0 + i * 0.0), window=window,
-            edge_cap=edge_cap, tile=512, reduce="mean",
+            edge_cap=edge_cap, tile=tile, reduce="mean",
         )
         return out[0, 0]
 

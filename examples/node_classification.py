@@ -102,12 +102,27 @@ def main():
         )
     print(f"dataset {ds.name}: {ds.node_count} nodes, {ds.edge_count} edges")
 
+    edge_type = getattr(ds, "edge_type", None)
+    num_rel = 0
+    if args.model == "rgcn":
+        if edge_type is None:
+            # homogeneous dataset: derive deterministic pseudo-relations so
+            # the R-GCN path (per-relation weights + per-relation mean) runs
+            # end-to-end — relation-specific weights over an arbitrary edge
+            # partition generalize GCN, so the task stays learnable
+            num_rel = 2
+            src = np.repeat(np.arange(ds.node_count), np.diff(ds.row_ptr))
+            edge_type = ((src + ds.col) % num_rel).astype(np.int32)
+        else:
+            num_rel = int(np.max(edge_type)) + 1
     g = GraphStructure(
         row_ptr=jnp.asarray(ds.row_ptr, jnp.int32),
         col=jnp.asarray(ds.col, jnp.int32),
         node_count=ds.node_count,
         edge_count=ds.edge_count,
         max_degree=int(np.diff(ds.row_ptr).max()),
+        edge_type=None if edge_type is None else jnp.asarray(edge_type, jnp.int32),
+        num_relations=num_rel,
     )
 
     # feature store: sharded table; trainable => embedding with sparse optimizer.
@@ -158,6 +173,7 @@ def main():
         dropout=args.dropout,
         aggregator=args.aggregator,
         framework=args.framework,
+        num_relations=num_rel,
     )
 
     def put(x, spec):

@@ -121,3 +121,30 @@ def test_hetero_example_accuracy_pinned():
     acc = _test_accuracy(proc.stdout)
     assert acc >= 75.0, f"hetero accuracy regressed: {acc}%\n{proc.stdout}"
     assert "[EPOCH_TIME]" in proc.stdout and "relations" in proc.stdout
+
+
+@pytest.mark.slow
+def test_gat_example_accuracy_pinned():
+    """GAT sampled training through the full example (SDDMM attention +
+    padded softmax + SpMM): pinned >=75% (measured 85.75%; random 12.5%)."""
+    out = _run_example(
+        ["--smoke", "--epochs", "15", "--model", "gat", "--seed", "0"],
+        timeout=600,
+    )
+    acc = _test_accuracy(out)
+    assert acc >= 75.0, f"GAT accuracy regressed: {acc}%\n{out}"
+
+
+@pytest.mark.slow
+def test_rgcn_example_accuracy_pinned():
+    """R-GCN sampled training through the full example (per-relation
+    weights + per-relation degree means over typed sampled hops): pinned
+    >=75% (measured 84.25%; random 12.5%).  The homogeneous synthetic
+    dataset gets deterministic pseudo-relations — the relation machinery
+    must not hurt learnability."""
+    out = _run_example(
+        ["--smoke", "--epochs", "15", "--model", "rgcn", "--seed", "0"],
+        timeout=600,
+    )
+    acc = _test_accuracy(out)
+    assert acc >= 75.0, f"RGCN accuracy regressed: {acc}%\n{out}"

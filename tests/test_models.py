@@ -466,3 +466,29 @@ def test_sharded_full_graph_eval_matches_replicated(model_type):
     out_tab = eval_full_graph_sharded(model, params, g, x_tab)
     got = out_tab.to_array()[:n]
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_window_interpret_matches_segment_sum():
+    """CPU (interpret-mode) coverage of the fused windowed SpMM kernel."""
+    import numpy as np
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm
+    from wholegraph_tpu.ops.spmm_pallas import spmm_window
+
+    rs = np.random.RandomState(1)
+    n, dim, width = 1200, 128, 96
+    counts = rs.randint(0, 8, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    x = rs.randn(n, dim).astype(np.float32)
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    edge_dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    ref = np.asarray(spmm(jnp.asarray(col), jnp.asarray(edge_dst),
+                          jnp.asarray(x), n, "mean"))
+    got = np.asarray(spmm_window(jnp.asarray(rp), jnp.asarray(col),
+                                 jnp.asarray(x), window=window,
+                                 edge_cap=edge_cap, tile=256, reduce="mean"))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

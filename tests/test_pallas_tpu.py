@@ -617,3 +617,37 @@ def test_col_one_block_path_matches_element_path_tpu():
     np.testing.assert_array_equal(
         np.asarray(res_e.neighbors), np.asarray(res_b.neighbors)
     )
+
+
+def test_spmm_window_matches_segment_sum_tpu():
+    """Fused pallas windowed SpMM (round 4): per-dest-tile window DMA +
+    in-VMEM int8 one-hot A-build + A @ window, vs the segment-sum spmm."""
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm
+    from wholegraph_tpu.ops.spmm_pallas import spmm_window
+
+    rs = np.random.RandomState(0)
+    n, deg, dim, width = 20_000, 12, 256, 160
+    counts = rs.randint(4, deg, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    x = rs.randn(n, dim).astype(np.float32)
+    w = rs.rand(E).astype(np.float32)
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    assert feasible
+    edge_dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    for reduce, ew in (("sum", None), ("mean", None), ("sum", w)):
+        ref = np.asarray(
+            spmm(jnp.asarray(col), jnp.asarray(edge_dst), jnp.asarray(x), n,
+                 reduce, edge_weight=None if ew is None else jnp.asarray(ew))
+        )
+        got = np.asarray(
+            spmm_window(jnp.asarray(rp), jnp.asarray(col), jnp.asarray(x),
+                        window=window, edge_cap=edge_cap, tile=256,
+                        reduce=reduce,
+                        edge_weight=None if ew is None else jnp.asarray(ew))
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -153,3 +153,266 @@ def _fps_bwd(res, ct):
 
 
 fused_padded_sum.defvjp(_fps_fwd, _fps_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed dense-tile SpMM (clustered / locality-ordered CSR) — round 4
+# ---------------------------------------------------------------------------
+#
+# The XLA spmm_tiled (ops/spmm.py) proved the MXU formulation (adjacency tile
+# A = one-hot build, out_tile = A @ window) but measured 14.9 Medges/s: XLA
+# materializes the [E_cap, T] / [E_cap, W] one-hots to HBM.  Here both
+# one-hots live entirely in VREGs/VMEM:
+#
+#   per destination tile t (grid step):
+#     DMA the source window slab x[w0_t : w0_t+W] into VMEM   (multi-row DMA)
+#     DMA the tile's col/weight edge blocks ([capb, 128])     (CSR is dst-
+#        sorted, so a tile's edges are CONTIGUOUS — block cover like the
+#        samplers' col fetch)
+#     for each 1024-edge group (dynamic trip count = the tile's real edges):
+#       transpose [8, 128] col tile -> [128, 8]; per 128-edge sub-block:
+#         oh_dst [128, T] = rpt_lo/hi lane compares   (dst ids NEVER touch
+#            memory: CSR row offsets give them as two broadcast compares)
+#         oh_src [128, W] = col-value lane compare
+#         A += oh_dst^T(int8) @ oh_src(int8) -> int32   (s8 MXU, exact counts)
+#     out_tile = A(f32) @ window  [T, W] @ [W, D]
+#
+# Cost/edge (T=256, W=512): A-build 2*T*W = 262K s8 ops (~0.7 ns at peak),
+# one-hot compares ~1.5K VPU ops, A@win amortized 2*T*W*D/E_t, window fetch
+# W*D*4/E_t bytes.  No per-edge DMA descriptor anywhere — this clears the
+# ~8 ns/edge descriptor floor that caps every random-access SpMM variant
+# (docs/DESIGN.md negative records).
+#
+# Weighted edges ride the same structure with an f32 A accumulation (the
+# weight multiplies oh_dst before the contraction).  Reference analog:
+# cuGraph-Ops CSR-tile agg kernels (sage_conv.py:73-95 delegate).
+
+
+def _transpose8(blk):  # [8, 128] -> [128, 8]
+    return jnp.transpose(blk, (1, 0))
+
+
+def _spmm_window_kernel(
+    w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
+    col2_ref, w2_ref, x_ref, out_ref,
+    win, colbuf, wbuf, acc, sems, csems,
+    *, T, W, D, capb, nt, weighted, reduce,
+):
+    t = pl.program_id(0)
+
+    def wcopy(slot, tt):
+        w0 = pl.multiple_of(w0s_ref[tt], 32)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(w0, W), :], win.at[slot], sems.at[slot]
+        )
+
+    def ccopy(slot, tt):
+        b0 = pl.multiple_of(blk0s_ref[tt], 8)
+        return pltpu.make_async_copy(
+            col2_ref.at[pl.ds(b0, capb), :], colbuf.at[slot], csems.at[slot, 0]
+        )
+
+    def wtcopy(slot, tt):
+        b0 = pl.multiple_of(blk0s_ref[tt], 8)
+        return pltpu.make_async_copy(
+            w2_ref.at[pl.ds(b0, capb), :], wbuf.at[slot], csems.at[slot, 1]
+        )
+
+    def start_all(slot, tt):
+        wcopy(slot, tt).start()
+        ccopy(slot, tt).start()
+        if weighted:
+            wtcopy(slot, tt).start()
+
+    @pl.when(t == 0)
+    def _first():
+        start_all(0, 0)
+
+    @pl.when(t + 1 < nt)
+    def _pref():
+        start_all((t + 1) % 2, t + 1)
+
+    slot = t % 2
+    wcopy(slot, t).wait()
+    ccopy(slot, t).wait()
+    if weighted:
+        wtcopy(slot, t).wait()
+
+    off0 = off0s_ref[t]
+    ne = ne_ref[t]
+    w0 = w0s_ref[t]
+    acc_dtype = jnp.float32 if weighted else jnp.int32
+    acc[...] = jnp.zeros((T, W), acc_dtype)
+
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    lane_W = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    onehot8 = [
+        (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == j) for j in range(8)
+    ]
+    ng = (off0 + ne + 1023) // 1024
+
+    def group(g, _):
+        cT = _transpose8(colbuf[slot, pl.ds(g * 8, 8), :])  # [128, 8]
+        if weighted:
+            vT = _transpose8(wbuf[slot, pl.ds(g * 8, 8), :])
+        for j in range(8):
+            colv = jnp.sum(jnp.where(onehot8[j], cT, 0), axis=1, keepdims=True)
+            pl_sub = g * 1024 + j * 128 + iota_sub - off0  # local edge pos
+            valid = (pl_sub >= 0) & (pl_sub < ne)
+            oh_src = ((colv - w0 == lane_W) & valid).astype(jnp.int8)
+            oh_dst = (
+                (pl_sub >= rlo_ref[0:1, :]) & (pl_sub < rhi_ref[0:1, :]) & valid
+            )
+            if weighted:
+                wv = jnp.sum(
+                    jnp.where(onehot8[j], vT, 0), axis=1, keepdims=True
+                )
+                lhs = oh_dst.astype(jnp.float32) * wv
+                contrib = jax.lax.dot_general(
+                    lhs, oh_src.astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                contrib = jax.lax.dot_general(
+                    oh_dst.astype(jnp.int8), oh_src,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            acc[...] = acc[...] + contrib
+        return 0
+
+    jax.lax.fori_loop(0, ng, group, 0)
+
+    A = acc[...].astype(jnp.float32)
+    out_t = jax.lax.dot_general(
+        A, win[slot], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if reduce == "mean":
+        cnt = jnp.sum(A, axis=1, keepdims=True)
+        out_t = out_t / jnp.maximum(cnt, 1.0)
+    out_ref[...] = out_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "W", "edge_cap", "reduce", "interpret"),
+)
+def _spmm_window_impl(
+    row_ptr, col, x, edge_weight, *, T, W, edge_cap, reduce, interpret=False
+):
+    n = row_ptr.shape[0] - 1
+    E = col.shape[0]
+    N, D = x.shape
+    nt = -(-n // T)
+    n_pad = nt * T
+    rp = row_ptr.astype(jnp.int32)
+    if n_pad != n:
+        rp = jnp.concatenate([rp, jnp.full((n_pad - n,), rp[n], jnp.int32)])
+
+    starts = rp[jnp.arange(nt, dtype=jnp.int32) * T]
+    rlo = rp[: n_pad].reshape(nt, T) - starts[:, None]  # local edge offsets
+    rhi = (
+        jnp.concatenate([rp[1: n_pad], rp[n_pad: n_pad + 1]]).reshape(nt, T)
+        - starts[:, None]
+    )
+    ne = rhi[:, -1]
+
+    # per-tile window origin: min col over the tile's edges (segment_min)
+    eidx = jnp.arange(E, dtype=jnp.int32)
+    etile = jnp.searchsorted(starts, eidx, side="right").astype(jnp.int32) - 1
+    w0s = jax.ops.segment_min(
+        col.astype(jnp.int32), etile, num_segments=nt, indices_are_sorted=True
+    )
+    # empty tiles: segment_min yields int32-max; the x slab is padded by
+    # W + 32 rows, so w0 only needs to stay within [0, N) — NO clip to
+    # N - W (that would shift the window off the tile's actual span)
+    w0s = jnp.where(ne > 0, w0s, 0) // 32 * 32
+
+    blk0s = (starts >> 7) & ~jnp.int32(7)
+    off0s = starts - blk0s * 128
+
+    capb = (-(-(1024 + edge_cap) // 1024)) * 8
+    pad_rows = capb + 8
+    colp = jnp.concatenate([col.astype(jnp.int32), jnp.zeros((-E % 128,), jnp.int32)])
+    col2 = jnp.concatenate(
+        [colp.reshape(-1, 128), jnp.zeros((pad_rows, 128), jnp.int32)]
+    )
+    weighted = edge_weight is not None
+    if weighted:
+        wp = jnp.concatenate(
+            [edge_weight.astype(jnp.float32), jnp.zeros((-E % 128,), jnp.float32)]
+        )
+        w2 = jnp.concatenate(
+            [wp.reshape(-1, 128), jnp.zeros((pad_rows, 128), jnp.float32)]
+        )
+    else:
+        w2 = jnp.zeros((8, 128), jnp.float32)
+    xpad = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((W + 32, D), jnp.float32)])
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt,
+            weighted=weighted, reduce=reduce,
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # blk0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # off0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ne
+            pl.BlockSpec((1, T), lambda t: (t, 0)),  # rlo
+            pl.BlockSpec((1, T), lambda t: (t, 0)),  # rhi
+            pl.BlockSpec(memory_space=pl.ANY),  # col2
+            pl.BlockSpec(memory_space=pl.ANY),  # w2
+            pl.BlockSpec(memory_space=pl.ANY),  # x
+        ],
+        out_specs=pl.BlockSpec((T, D), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, D), jnp.float32),
+            pltpu.VMEM((2, capb, 128), jnp.int32),
+            pltpu.VMEM((2, capb, 128), jnp.float32),
+            pltpu.VMEM((T, W), jnp.float32 if weighted else jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(w0s, blk0s, off0s, ne, rlo, rhi, col2, w2, xpad)
+    return out[:n]
+
+
+def spmm_window(
+    row_ptr: Array,
+    col: Array,
+    x: Array,
+    *,
+    window: int,
+    edge_cap: int,
+    tile: int = 256,
+    reduce: str = "sum",
+    edge_weight: Array | None = None,
+    interpret: bool | None = None,
+) -> Array:
+    """Fused pallas windowed SpMM over a locality-ordered CSR (see block
+    comment above).  Size ``window``/``edge_cap`` with
+    :func:`wholegraph_tpu.ops.spmm.plan_spmm_tiles` (same contract as
+    spmm_tiled: any tile whose source span exceeds ``window`` yields zeros
+    for the out-of-window edges — use the plan's ``feasible`` flag).
+    Forward-only (full-graph inference/eval path); training mini-batches use
+    the padded path."""
+    from ..utils.error import check_input
+
+    check_input(reduce in ("sum", "mean"), f"unknown reduce {reduce!r}")
+    # +32 guards the w0 align-down (w0 = min_col rounded DOWN to 32 keeps
+    # every in-plan col strictly inside [w0, w0 + W))
+    W = -(-(window + 32) // 128) * 128
+    check_input(x.shape[1] % 128 == 0, "dim must be a multiple of 128")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _spmm_window_impl(
+        row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=int(edge_cap),
+        reduce=reduce, interpret=interpret,
+    )
