@@ -307,11 +307,17 @@ def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
         )
 
     col = make_col()
-    weights = None
+    weights = cw = None
     if weighted:
         weights = jax.jit(
             lambda: jax.random.uniform(jax.random.PRNGKey(1), (n_edges,)) + 0.1
         )()
+        # production weighted graphs carry the fused pair-block table
+        # (GraphStructure.with_weighted_fastpath): one DMA per block serves
+        # keys AND neighbor values
+        from wholegraph_tpu.ops.sampling import interleave_col_weights
+
+        cw = jax.jit(interleave_col_weights)(col, weights)
 
     def step(i, col, *w):
         centers = jax.random.randint(
@@ -324,10 +330,11 @@ def bench_sampling(n_rows=2_000_000, deg=32, batch=1 << 16, K=15, iters=8,
             # (weight fetch + col block fetch) must keep the cost
             # proportional to the batch's real max
             max_degree=65536,
+            cw_blocks=w[1] if w else None,
         )
         return res.neighbors[0, 0].astype(jnp.float32)
 
-    args = (col, weights) if weighted else (col,)
+    args = (col, weights, cw) if weighted else (col,)
     dt = measure_median(step, iters, *args)
     return batch * K / dt, dt
 

@@ -296,12 +296,14 @@ def test_weighted_single_shot_1blk_bitequal_cpu():
 
 
 def test_weighted_bucketed_dispatch_bitequal_cpu():
-    """B>=4096 routes through the degree-bucketed dispatch (4 buckets,
-    per-bucket ladder levels): results must stay bit-identical to the
-    element-fetch reference ladder on a mixed-degree batch."""
+    """With _WEIGHTED_BUCKETS=4 (opt-in since r4 — G=1 measured faster on
+    tight need spreads) B>=4096 routes through the degree-bucketed dispatch
+    (4 buckets, per-bucket ladder levels): results must stay bit-identical
+    to the element-fetch reference ladder on a mixed-degree batch."""
     from unittest import mock
 
     import wholegraph_tpu.ops.gather_pallas as gp
+    import wholegraph_tpu.ops.sampling as S
     from wholegraph_tpu.ops.sampling import _sample_positions_weighted
 
     rs = np.random.RandomState(23)
@@ -325,6 +327,7 @@ def test_weighted_bucketed_dispatch_bitequal_cpu():
         return out[:, None, :] if out.ndim == 2 else out
 
     with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
+         mock.patch.object(S, "_WEIGHTED_BUCKETS", 4), \
          mock.patch(
              "wholegraph_tpu.ops.sampling.jax.default_backend",
              return_value="tpu",
@@ -334,6 +337,78 @@ def test_weighted_bucketed_dispatch_bitequal_cpu():
         )
     np.testing.assert_array_equal(np.asarray(mask_b), np.asarray(ref_mask))
     np.testing.assert_array_equal(np.asarray(pos_b), np.asarray(ref_pos))
+
+
+def test_weighted_fused_pair_blocks_bitequal_cpu():
+    """The fused pair-block path (cw_blocks: one DMA serves keys AND
+    neighbor values, no separate col fetch) must return bit-identical
+    SampleResults to the unfused path across the single-shot(1),
+    single-shot(2) and ladder regimes — including masked slots, positions
+    and edge ids."""
+    from wholegraph_tpu.ops.sampling import (
+        csr_sample_neighbors,
+        interleave_col_weights,
+    )
+
+    rs = np.random.RandomState(41)
+    for tag, lo, hi, nheavy in [
+        ("1blk", 4, 9, 0),       # deg<=8, aligned-ish: mostly 1-block
+        ("2blk", 16, 49, 0),     # honest mixed: 2-block single shot
+        ("ladder", 16, 49, 20),  # heavy tail forces the ladder
+    ]:
+        n, K, B = 4000, 6, 1024
+        deg_np = rs.randint(lo, hi, n).astype(np.int32)
+        if nheavy:
+            deg_np[rs.choice(n, nheavy, replace=False)] = rs.randint(
+                600, 1500, nheavy
+            )
+        row_ptr = np.concatenate([[0], np.cumsum(deg_np)]).astype(np.int32)
+        E = int(row_ptr[-1])
+        col = jnp.asarray(rs.randint(0, n, E).astype(np.int32))
+        weights = jnp.asarray(rs.rand(E).astype(np.float32) + 0.05)
+        centers = jnp.asarray(rs.randint(0, n, B).astype(np.int32))
+        rp = jnp.asarray(row_ptr)
+
+        ref = csr_sample_neighbors(
+            rp, col, centers, K, seed=9, hop=1, weights=weights,
+            max_degree=2048,
+        )
+        cw = interleave_col_weights(col, weights)
+        got = csr_sample_neighbors(
+            rp, col, centers, K, seed=9, hop=1, weights=weights,
+            max_degree=2048, cw_blocks=cw,
+        )
+        for field in ("neighbors", "mask", "positions", "edge_ids"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, field)),
+                np.asarray(getattr(ref, field)),
+                err_msg=f"{tag}:{field}",
+            )
+
+
+def test_graph_weighted_fastpath_multilayer_bitequal_cpu():
+    """GraphStructure.with_weighted_fastpath() plumbs cw_blocks through
+    multilayer_sample: identical MultilayerSample to the plain graph."""
+    from wholegraph_tpu.graph import GraphStructure
+
+    rs = np.random.RandomState(5)
+    n, E = 600, 9000
+    src = rs.randint(0, n, E)
+    dst = rs.randint(0, n, E)
+    w = rs.rand(E).astype(np.float32) + 0.1
+    g = GraphStructure.from_coo(src, dst, n, edge_weight=w)
+    gf = g.with_weighted_fastpath()
+    centers = jnp.asarray(rs.randint(0, n, 64).astype(np.int32))
+    a = g.multilayer_sample(centers, [4, 3], seed=3, weighted=True)
+    b = gf.multilayer_sample(centers, [4, 3], seed=3, weighted=True)
+    np.testing.assert_array_equal(
+        np.asarray(a.unique_gids), np.asarray(b.unique_gids)
+    )
+    for ha, hb in zip(a.hops, b.hops):
+        np.testing.assert_array_equal(
+            np.asarray(ha.nbr_idx), np.asarray(hb.nbr_idx)
+        )
+        np.testing.assert_array_equal(np.asarray(ha.mask), np.asarray(hb.mask))
 
 
 def test_ptr_pair_fetch_bitequal_cpu():

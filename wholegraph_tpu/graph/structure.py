@@ -115,6 +115,32 @@ class GraphStructure:
     edge_weight: Optional[TableLike] = None
     edge_type: Optional[TableLike] = None  # [E] relation ids (RGCN)
     num_relations: int = 0
+    # precomputed interleave_col_weights(col, edge_weight) pair-block table
+    # ([ceil(E/128), 256] int32): one block DMA then serves both the A-Res
+    # keys and the selected neighbor values (see with_weighted_fastpath)
+    cw_blocks: Optional[Array] = None
+
+    def with_weighted_fastpath(self) -> "GraphStructure":
+        """Return a copy carrying the fused weighted-sampling pair-block
+        table (costs E x 8 B of extra device memory; weighted sampling then
+        skips its separate col-block fetch — bit-equal, ~25% faster steps
+        measured r4).  Requires replicated (non-sharded) col/edge_weight."""
+        from ..ops.sampling import interleave_col_weights
+        from ..utils.error import check_input
+
+        check_input(self.edge_weight is not None,
+                    "with_weighted_fastpath needs edge_weight")
+        check_input(
+            not hasattr(self.col, "gather")
+            and not hasattr(self.edge_weight, "gather"),
+            "weighted fastpath needs replicated col/edge_weight",
+        )
+        return dataclasses.replace(
+            self,
+            cw_blocks=interleave_col_weights(
+                jnp.asarray(self.col), jnp.asarray(self.edge_weight)
+            ),
+        )
 
     @staticmethod
     def from_coo(
@@ -214,6 +240,7 @@ class GraphStructure:
             weights=self.edge_weight if weighted else None,
             max_degree=self.max_degree,
             gather_kwargs=gather_kwargs,
+            cw_blocks=self.cw_blocks if weighted else None,
         )
 
     def multilayer_sample(

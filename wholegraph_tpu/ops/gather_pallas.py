@@ -391,30 +391,38 @@ _WALIGN = 32  # window starts aligned to HBM sublane tiling (8 f32 / 16 bf16)
 
 def _window_gather_kernel(
     w0s_ref, starts_ref, ids_ref, table_ref, out_ref, win, sems,
-    *, tile, wsub, group, window, nt, pack_planes=False,
+    *, tile, wsub, group, window, nt, pack_planes=False, splits=1,
 ):
     t = pl.program_id(0)
+    sub = window // splits
 
-    def copy(slot, tt):
+    def copy(slot, tt, s):
         # w0s are _WALIGN-aligned by construction; tell Mosaic so the tiled
-        # HBM slice is provably tile-aligned.
+        # HBM slice is provably tile-aligned.  The slab is fetched as
+        # ``splits`` parallel sub-slab DMAs: one whole-window DMA streams on
+        # a single engine (~310 GB/s effective); 4 concurrent sub-slabs
+        # measured 212 vs 196 GB/s end-to-end at the d=0.8 bench config
+        # (scripts/exp_window_reuse2.py, r4 on v5e).
         w0 = pl.multiple_of(w0s_ref[tt], _WALIGN)
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(w0, window), :],
-            win.at[slot],
-            sems.at[slot],
+            table_ref.at[pl.ds(w0 + s * sub, sub), :],
+            win.at[slot, pl.ds(s * sub, sub), :],
+            sems.at[slot, s],
         )
 
     @pl.when(t == 0)
     def _first():
-        copy(0, 0).start()
+        for s in range(splits):
+            copy(0, 0, s).start()
 
     @pl.when(t + 1 < nt)
     def _prefetch():
-        copy((t + 1) % 2, t + 1).start()
+        for s in range(splits):
+            copy((t + 1) % 2, t + 1, s).start()
 
     slot = t % 2
-    copy(slot, t).wait()
+    for s in range(splits):
+        copy(slot, t, s).wait()
     w0 = w0s_ref[t]
     dtype = out_ref.dtype
 
@@ -500,11 +508,13 @@ def _window_starts(padded_ids: Array, n_rows: int, tile, window, group, wsub):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "window", "group", "wsub", "pack_planes")
+    jax.jit,
+    static_argnames=("tile", "window", "group", "wsub", "pack_planes", "splits"),
 )
 def gather_rows_window(
     table: Array, ids: Array, *, tile: int = 256, window: int = 1024,
     group: int = 1, wsub: int | None = None, pack_planes: bool = False,
+    splits: int = 0,
 ) -> Array:
     """out[i] = table[ids[i]] for SORTED ids via windowed multi-row DMAs.
 
@@ -517,12 +527,20 @@ def gather_rows_window(
     :func:`window_coverage` to check).  Requires ``window + _WALIGN <= N``.
 
     Float dtypes only (f32 exact via 3-pass bf16 split; bf16 exact natively).
+
+    ``splits=0`` (default) auto-selects 4 parallel sub-slab DMAs per window
+    when the geometry allows (one whole-slab DMA rides a single engine —
+    212 vs 196 GB/s measured r4); pass 1 to force a single slab DMA.
     """
     B = ids.shape[0]
     N, D = table.shape
     step = tile * group
     if wsub is None:
         wsub = window - (group - 1) * tile
+    if splits == 0:
+        splits = 4 if window % (4 * _WALIGN) == 0 else 1
+    assert window % splits == 0 and (window // splits) % _WALIGN == 0, (
+        window, splits)
     assert D % 128 == 0, D
     assert window % _WALIGN == 0 and wsub % _WALIGN == 0, (window, wsub)
     assert tile <= wsub <= window, (window, tile, group, wsub)
@@ -538,7 +556,7 @@ def gather_rows_window(
     out = pl.pallas_call(
         functools.partial(
             _window_gather_kernel, tile=tile, wsub=wsub, group=group,
-            window=window, nt=nt, pack_planes=pack_planes,
+            window=window, nt=nt, pack_planes=pack_planes, splits=splits,
         ),
         grid=(nt,),
         in_specs=[
@@ -551,7 +569,7 @@ def gather_rows_window(
         out_shape=jax.ShapeDtypeStruct((Bp, D), table.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, window, D), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, splits)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(w0s, starts, ids.reshape(Bp, 1), table)

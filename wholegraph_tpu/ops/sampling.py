@@ -224,6 +224,7 @@ def _sample_positions_uniform(deg: Array, K: int, seed: int, centers: Array, hop
 
 
 _NB = 4  # 128-lane weight blocks fetched per center per ladder iteration
+_WEIGHTED_BUCKETS = 1  # degree buckets; >1 only pays off on skewed batches
 
 
 def _merge_topk(best_keys, best_pos, key, K: int, off_of_topi):
@@ -390,6 +391,187 @@ def _weighted_block_ladder(
     return jnp.where(mask, best_pos, 0), mask
 
 
+# ---------------------------------------------------------------------------
+# Weighted FUSED: one pair-block fetch serves keys AND neighbor values
+# ---------------------------------------------------------------------------
+
+
+def interleave_col_weights(col: Array, weights: Array) -> Array:
+    """[ceil(E/128), 256] int32 pair-block table: lanes 0-127 = col block i,
+    lanes 128-255 = the same weight block bitcast to int32.
+
+    The weighted sampler's two block fetches cover the SAME 128-lane edge
+    blocks — the weight lanes to compute A-Res keys, then (in `_fetch_cols`)
+    the col lanes to read the selected neighbors.  Interleaving them makes
+    each ~1KB descriptor serve both, halving the sampler's DMA descriptors
+    (measured r4: the 2-block weight DMA alone is 2.66 ms at B=64K on v5e —
+    the col fetch repaid the same cost).  Build ONCE per graph
+    (`GraphStructure.with_weighted_fastpath`) — building inside the per-step
+    jit would re-run two HBM passes over E every step."""
+    E = col.shape[0]
+    pad = -E % 128
+    c = col.astype(jnp.int32)
+    w = weights.astype(jnp.float32)
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.int32)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+    return jnp.concatenate(
+        [
+            c.reshape(-1, 1, 128),
+            lax.bitcast_convert_type(w, jnp.int32).reshape(-1, 1, 128),
+        ],
+        axis=1,
+    ).reshape(-1, 256)
+
+
+def _fetch_pair_blocks(cw: Array, fl: Array, B: int, nblk: int):
+    """DMA `fl` pair-block rows; returns (cols [B, nblk*128] int32,
+    w [B, nblk*128] f32).  jnp.take off-TPU (CPU bit-equality tests)."""
+    if jax.default_backend() == "tpu":
+        from .gather_pallas import _gather_rows_pallas3_impl
+
+        pad_m = -fl.shape[0] % 1024
+        if pad_m:
+            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+        pairs = _gather_rows_pallas3_impl(cw, fl)[: B * nblk]  # [B*nblk,2,128]
+    else:
+        pairs = jnp.take(cw, fl[: B * nblk], axis=0, mode="clip").reshape(
+            B * nblk, 2, 128
+        )
+    pairs = pairs.reshape(B, nblk, 2, 128)
+    cols = pairs[:, :, 0, :].reshape(B, nblk * 128)
+    w = lax.bitcast_convert_type(pairs[:, :, 1, :], jnp.float32).reshape(
+        B, nblk * 128
+    )
+    return cols, w
+
+
+def _merge_topk3(best_keys, best_pos, best_col, key, col_lanes, K: int,
+                 off_of_topi):
+    """`_merge_topk` carrying the neighbor VALUE alongside the position:
+    in-chunk winners' cols are recovered by a one-hot masked reduce over the
+    chunk's col lanes (same select the unfused col fetch pays per ladder
+    iteration — a span-wide take_along_axis costs ~15 ms at [64K, 542])."""
+    span = key.shape[1]
+    merged = jnp.concatenate([best_keys, key], axis=1)
+    topk, topi = lax.approx_max_k(
+        merged, K, recall_target=1.0, aggregate_to_topk=True
+    )
+    topi = topi.astype(jnp.int32)
+    carried_pos = jnp.take_along_axis(best_pos, jnp.minimum(topi, K - 1), axis=1)
+    carried_col = jnp.take_along_axis(best_col, jnp.minimum(topi, K - 1), axis=1)
+    inlane = topi - K  # [B, K], valid where topi >= K
+    oh = inlane[:, :, None] == jnp.arange(span, dtype=jnp.int32)[None, None, :]
+    sel = jnp.sum(jnp.where(oh, col_lanes[:, None, :], 0), axis=2)
+    return (
+        topk,
+        jnp.where(topi < K, carried_pos, off_of_topi(topi)),
+        jnp.where(topi < K, carried_col, sel),
+    )
+
+
+def _weighted_sample_fused(
+    start: Array, deg: Array, K: int, seed: int, centers: Array, hop: int,
+    cw: Array, max_degree: int,
+):
+    """A-Res over interleaved col+weight pair blocks: ONE DMA per enclosing
+    block serves both the keys and the selected neighbor values, so the
+    separate `_fetch_cols` block pass disappears.  Selection is bit-equal to
+    `_weighted_block_ladder` + `_fetch_cols` (same key per (center, offset),
+    same exact approx_max_k) — CPU-proven in tests/test_sampling.py.
+
+    Returns (pos [B,K], mask [B,K], nbrs [B,K] — nbrs already -1-masked)."""
+    B = start.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    nblk_tab = cw.shape[0]
+    span = _NB * 128
+    total_iters = max(-(-(127 + max_degree) // span), 1)
+    blk0 = start >> 7
+    s_lane = start & 127
+    lane_iota = jnp.arange(span, dtype=jnp.int32)[None, :]
+    cb = jnp.broadcast_to(centers[:, None], (B, span))
+
+    def body(c, carry):
+        best_keys, best_pos, best_col = carry
+        bids = blk0[:, None] + c * _NB + jnp.arange(_NB, dtype=jnp.int32)[None, :]
+        fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+        cols, w = _fetch_pair_blocks(cw, fl, B, _NB)
+        offs = c * span + lane_iota - s_lane[:, None]
+        valid = (offs >= 0) & (offs < deg[:, None])
+        offs_c = jnp.where(valid, offs, 0)
+        u = rng.rand_uniform(seed, cb, hop * _HOP_STRIDE + offs_c)
+        key = jnp.where(
+            valid & (w > 0), jnp.log(jnp.maximum(u, 1e-20)) / w, neg_inf
+        )
+        return _merge_topk3(
+            best_keys, best_pos, best_col, key, cols, K,
+            lambda topi: c * span + (topi - K) - s_lane[:, None],
+        )
+
+    init = (
+        jnp.full((B, K), neg_inf, jnp.float32),
+        jnp.zeros((B, K), jnp.int32),
+        jnp.zeros((B, K), jnp.int32),
+    )
+    needed = jnp.max(-(-(s_lane + deg) // span))
+
+    def ladder_path(_):
+        return _ladder_run(body, init, total_iters, needed)
+
+    def make_single_shot(nblk: int):
+        def single_shot(_):
+            spanS = nblk * 128
+            bids = blk0[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+            fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+            cols, w = _fetch_pair_blocks(cw, fl, B, nblk)
+            offs = jnp.arange(spanS, dtype=jnp.int32)[None, :] - s_lane[:, None]
+            valid = (offs >= 0) & (offs < deg[:, None])
+            offs_c = jnp.where(valid, offs, 0)
+            u = rng.rand_uniform(
+                seed,
+                jnp.broadcast_to(centers[:, None], (B, spanS)),
+                hop * _HOP_STRIDE + offs_c,
+            )
+            key = jnp.where(
+                valid & (w > 0), jnp.log(jnp.maximum(u, 1e-20)) / w, neg_inf
+            )
+            topk, topi = lax.approx_max_k(
+                key, K, recall_target=1.0, aggregate_to_topk=True
+            )
+            topi = topi.astype(jnp.int32)
+            oh = topi[:, :, None] == jnp.arange(spanS, dtype=jnp.int32)[
+                None, None, :
+            ]
+            nbr = jnp.sum(jnp.where(oh, cols[:, None, :], 0), axis=2)
+            return topk, topi - s_lane[:, None], nbr
+
+        return single_shot
+
+    need = jnp.max(s_lane + deg)
+    if K <= 128:
+        best_keys, best_pos, best_col = lax.cond(
+            need <= 128,
+            make_single_shot(1),
+            lambda _: lax.cond(
+                need <= 2 * 128, make_single_shot(2), ladder_path, None
+            ),
+            None,
+        )
+    elif K <= 2 * 128:
+        best_keys, best_pos, best_col = lax.cond(
+            need <= 2 * 128, make_single_shot(2), ladder_path, None
+        )
+    else:
+        best_keys, best_pos, best_col = ladder_path(None)
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    mask = (slots < jnp.minimum(deg, K)[:, None]) & (best_keys > neg_inf)
+    return (
+        jnp.where(mask, best_pos, 0),
+        mask,
+        jnp.where(mask, best_col, -1),
+    )
+
+
 def _sample_positions_weighted(
     start: Array,
     deg: Array,
@@ -429,7 +611,19 @@ def _sample_positions_weighted(
         # single-shot/ladder cond and ladder level then follow the
         # bucket's OWN max.  Keys are per (center, offset), so bucketing
         # cannot change any center's selected set (bit-equal; CPU-proven).
-        G = 4 if B % 4 == 0 and B >= 4096 else 1
+        # DEFAULT OFF (r4 measured, honest unaligned mixed-degree CSR:
+        # G=4 16.5 ms vs G=1 12.2 ms at B=64K — when the need spread is
+        # tight the whole batch already rides one single-shot level, and
+        # 4 quarter-size pipelines pay ~1 ms/bucket of fixed kernel
+        # overhead for nothing; scripts/exp_wsample2.py).  Flip
+        # _WEIGHTED_BUCKETS to 4 for genuinely SKEWED degree
+        # distributions, where isolating the heavy tail in its own
+        # bucket keeps the other 3/4 off the ladder.
+        G = (
+            _WEIGHTED_BUCKETS
+            if B % _WEIGHTED_BUCKETS == 0 and B >= 4096
+            else 1
+        )
         if G > 1:
             need = (start & 127) + deg
             order = jnp.argsort(need)
@@ -522,6 +716,7 @@ def csr_sample_neighbors(
     weights: Optional[TableLike] = None,
     max_degree: Optional[int] = None,
     gather_kwargs: Optional[dict] = None,
+    cw_blocks: Optional[Array] = None,
 ) -> SampleResult:
     """Sample up to ``max_sample`` neighbors per center, without replacement.
 
@@ -530,6 +725,12 @@ def csr_sample_neighbors(
     ``col``/``weights`` may be jnp arrays (replicated CSR) or ShardedTables
     (distributed CSR — fetches become distributed gathers, the NCCL-path
     analog).
+
+    ``cw_blocks`` (optional, weighted replicated CSRs only): the
+    precomputed :func:`interleave_col_weights` pair-block table — each
+    block DMA then serves both the A-Res keys and the selected neighbor
+    values, skipping the separate col fetch (bit-equal; build it once per
+    graph via ``GraphStructure.with_weighted_fastpath()``).
 
     Returns a padded :class:`SampleResult`.
     """
@@ -553,6 +754,17 @@ def csr_sample_neighbors(
     else:
         if max_degree is None:
             raise ValueError("weighted sampling requires static max_degree")
+        if (
+            cw_blocks is not None
+            and not hasattr(weights, "gather")
+            and not hasattr(col, "gather")
+        ):
+            pos, mask, nbrs = _weighted_sample_fused(
+                start, deg, K, seed, centers, hop, cw_blocks,
+                int(max_degree),
+            )
+            edge_ids = start[:, None] + pos
+            return SampleResult(nbrs, mask, pos, edge_ids, deg)
         pos, mask = _sample_positions_weighted(
             start, deg, K, seed, centers, hop, weights, int(max_degree)
         )
