@@ -651,3 +651,64 @@ def test_spmm_window_matches_segment_sum_tpu():
                         edge_weight=None if ew is None else jnp.asarray(ew))
         )
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_weighted_fused_pair_blocks_bitequal_tpu():
+    """Fused pair-block weighted sampling (round 4: one DMA serves A-Res
+    keys AND neighbor values via interleave_col_weights) must be
+    bit-identical to the unfused weighted path ON SILICON, across the
+    single-shot and ladder regimes."""
+    from wholegraph_tpu.ops.sampling import (
+        csr_sample_neighbors,
+        interleave_col_weights,
+    )
+
+    rs = np.random.RandomState(7)
+    for tag, lo, hi, nheavy in [("2blk", 16, 49, 0), ("ladder", 16, 49, 12)]:
+        n, K, B = 50_000, 10, 8192
+        deg_np = rs.randint(lo, hi, n).astype(np.int32)
+        if nheavy:
+            deg_np[rs.choice(n, nheavy, replace=False)] = rs.randint(
+                600, 1500, nheavy
+            )
+        rp_np = np.concatenate([[0], np.cumsum(deg_np)]).astype(np.int32)
+        E = int(rp_np[-1])
+        col = jnp.asarray(rs.randint(0, n, E).astype(np.int32))
+        weights = jnp.asarray(rs.rand(E).astype(np.float32) + 0.05)
+        centers = jnp.asarray(rs.randint(0, n, B).astype(np.int32))
+        rp = jnp.asarray(rp_np)
+        ref = csr_sample_neighbors(
+            rp, col, centers, K, seed=3, hop=1, weights=weights,
+            max_degree=4096,
+        )
+        cw = jax.jit(interleave_col_weights)(col, weights)
+        got = csr_sample_neighbors(
+            rp, col, centers, K, seed=3, hop=1, weights=weights,
+            max_degree=4096, cw_blocks=cw,
+        )
+        for field in ("neighbors", "mask", "positions", "edge_ids"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, field)),
+                np.asarray(getattr(ref, field)),
+                err_msg=f"{tag}:{field}",
+            )
+
+
+def test_gather_rows_window_splits_bitexact_tpu():
+    """splits=4 (r4 opt-in sub-slab DMA mode) must be bit-identical to
+    the single-slab DMA (splits=1, the default) on sorted batches."""
+    from wholegraph_tpu.ops.gather_pallas import gather_rows_window
+
+    rs = np.random.RandomState(3)
+    N, D, B = 300_000, 256, 1 << 16
+    table = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (N, D), jnp.float32)
+    )()
+    span = int(B / 0.8)
+    ids = jnp.asarray(
+        np.sort(rs.choice(span, B, replace=False) + 1000).astype(np.int32)
+    )
+    kw = dict(tile=128, group=8, window=1408, wsub=224)
+    a = gather_rows_window(table, ids, splits=1, **kw)
+    b = gather_rows_window(table, ids, splits=4, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -528,9 +528,12 @@ def gather_rows_window(
 
     Float dtypes only (f32 exact via 3-pass bf16 split; bf16 exact natively).
 
-    ``splits=0`` (default) auto-selects 4 parallel sub-slab DMAs per window
-    when the geometry allows (one whole-slab DMA rides a single engine —
-    212 vs 196 GB/s measured r4); pass 1 to force a single slab DMA.
+    ``splits`` issues the window as that many parallel sub-slab DMAs.  An
+    early r4 probe read 212 vs 196 GB/s for splits=4, but the same-session
+    A/B (scripts/exp_split_ab.py) put the difference inside the tunnel's
+    ±20% noise (medians: split1 218 / split4 196 / split2 190), so the
+    default stays the single proven slab DMA; splits>1 is opt-in
+    (bit-exact — tests/test_pallas_tpu.py::test_gather_rows_window_splits).
     """
     B = ids.shape[0]
     N, D = table.shape
@@ -538,7 +541,7 @@ def gather_rows_window(
     if wsub is None:
         wsub = window - (group - 1) * tile
     if splits == 0:
-        splits = 4 if window % (4 * _WALIGN) == 0 else 1
+        splits = 1
     assert window % splits == 0 and (window // splits) % _WALIGN == 0, (
         window, splits)
     assert D % 128 == 0, D

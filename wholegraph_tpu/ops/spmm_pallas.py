@@ -241,6 +241,17 @@ def _spmm_window_kernel(
     off0 = off0s_ref[t]
     ne = ne_ref[t]
     w0 = w0s_ref[t]
+    # rlo/rhi arrive as (8, T) blocks (Mosaic requires sublane counts
+    # divisible by 8 — a (1, T) block fails lowering ON TPU ONLY); the
+    # tile's row is the t%8 sublane.  Select it with a one-hot masked sum
+    # (the same vectorized trick the col extraction uses below) — a dynamic
+    # sublane slice `ref[pl.ds(t % 8, 1), :]` compiles on TPU but returned
+    # WRONG rows in the r4 hardware sweep (validate_r4b).
+    sub_sel = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0) == (t % 8)
+    rlo_row = jnp.sum(jnp.where(sub_sel, rlo_ref[...], 0), axis=0,
+                      keepdims=True).reshape(1, T)  # [1, T]
+    rhi_row = jnp.sum(jnp.where(sub_sel, rhi_ref[...], 0), axis=0,
+                      keepdims=True).reshape(1, T)
     acc_dtype = jnp.float32 if weighted else jnp.int32
     acc[...] = jnp.zeros((T, W), acc_dtype)
 
@@ -260,9 +271,7 @@ def _spmm_window_kernel(
             pl_sub = g * 1024 + j * 128 + iota_sub - off0  # local edge pos
             valid = (pl_sub >= 0) & (pl_sub < ne)
             oh_src = ((colv - w0 == lane_W) & valid).astype(jnp.int8)
-            oh_dst = (
-                (pl_sub >= rlo_ref[0:1, :]) & (pl_sub < rhi_ref[0:1, :]) & valid
-            )
+            oh_dst = (pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid
             if weighted:
                 wv = jnp.sum(
                     jnp.where(onehot8[j], vT, 0), axis=1, keepdims=True
@@ -318,6 +327,15 @@ def _spmm_window_impl(
         - starts[:, None]
     )
     ne = rhi[:, -1]
+    # pad the tile axis to a multiple of 8: rlo/rhi stream in as (8, T)
+    # blocks (see kernel comment)
+    nt8 = -(-nt // 8) * 8
+    if nt8 != nt:
+        zpad = jnp.zeros((nt8 - nt, T), jnp.int32)
+        rlo_p = jnp.concatenate([rlo, zpad])
+        rhi_p = jnp.concatenate([rhi, zpad])
+    else:
+        rlo_p, rhi_p = rlo, rhi
 
     # per-tile window origin: min col over the tile's edges (segment_min)
     eidx = jnp.arange(E, dtype=jnp.int32)
@@ -362,8 +380,8 @@ def _spmm_window_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # blk0s
             pl.BlockSpec(memory_space=pltpu.SMEM),  # off0s
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ne
-            pl.BlockSpec((1, T), lambda t: (t, 0)),  # rlo
-            pl.BlockSpec((1, T), lambda t: (t, 0)),  # rhi
+            pl.BlockSpec((8, T), lambda t: (t // 8, 0)),  # rlo (8-row block)
+            pl.BlockSpec((8, T), lambda t: (t // 8, 0)),  # rhi
             pl.BlockSpec(memory_space=pl.ANY),  # col2
             pl.BlockSpec(memory_space=pl.ANY),  # w2
             pl.BlockSpec(memory_space=pl.ANY),  # x
@@ -380,7 +398,7 @@ def _spmm_window_impl(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(w0s, blk0s, off0s, ne, rlo, rhi, col2, w2, xpad)
+    )(w0s, blk0s, off0s, ne, rlo_p, rhi_p, col2, w2, xpad)
     return out[:n]
 
 
