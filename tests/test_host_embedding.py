@@ -124,3 +124,53 @@ def test_hot_ids_by_degree():
     row_ptr = np.array([0, 10, 11, 20, 22, 40])
     hot = hot_ids_by_degree(row_ptr, 0.4)
     assert set(hot) == {0, 4}  # two highest-degree nodes
+
+
+def test_host_window_plan_math():
+    """Pure-jnp window-mode fetch plan (round 4): alignment, coverage,
+    end-of-table clamping, density/size infeasibility, rel-index mapping."""
+    from wholegraph_tpu.ops.gather_pallas import _host_window_plan
+
+    dim, page = 256, 1024  # f32: 4 rows/page alignment unit (lcm = 1024)
+    ce = 16 * (1 << 20) // 4  # 16 MB chunks
+    flat_len = 4_000_000 * dim  # multiple of lcm(dim, page)
+
+    def check(slots_np, max_chunks=64, min_density=0.0):
+        slots = jnp.asarray(slots_np.astype(np.int32))
+        lo, nc, rel, bad = _host_window_plan(
+            slots, dim, page, ce, max_chunks, flat_len,
+            min_density=min_density,
+        )
+        lo, nc, rel, bad = (int(lo), int(nc), np.asarray(rel), bool(bad))
+        if not bad:
+            assert lo % np.lcm(dim, page) == 0
+            assert lo + nc * ce <= flat_len
+            valid = slots_np >= 0
+            # every valid row lies inside the fetched window
+            lo_row = lo // dim
+            assert (slots_np[valid] >= lo_row).all()
+            assert ((slots_np[valid] + 1) * dim <= lo + nc * ce).all()
+            np.testing.assert_array_equal(
+                rel[valid], slots_np[valid] - lo_row
+            )
+        return bad
+
+    rs = np.random.RandomState(0)
+    # dense clustered window
+    assert not check(rs.randint(1_000_000, 1_040_000, 50_000))
+    # with masked slots
+    s = rs.randint(2_000_001, 2_030_000, 50_000)
+    s[::7] = -1
+    assert not check(s)
+    # window butting against the END of the table (clamp must keep
+    # coverage) — top rows
+    assert not check(np.arange(4_000_000 - 30_000, 4_000_000))
+    # whole-table span: infeasible at max_chunks=64 x 16 MB = 1 GB < 3.8 GB
+    assert check(np.array([0, 3_999_999]))
+    # density gate: 100 rows over a 1M-row span
+    assert check(rs.choice(1_000_000, 100, replace=False),
+                 min_density=0.5)
+    # the same rows without the gate are size-feasible? span 1M rows x 1KB
+    # = ~1 GB > 64 chunks -> still infeasible by size; shrink span
+    assert not check(rs.choice(100_000, 60_000, replace=False),
+                     min_density=0.5)

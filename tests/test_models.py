@@ -492,3 +492,105 @@ def test_spmm_window_interpret_matches_segment_sum():
                                  jnp.asarray(x), window=window,
                                  edge_cap=edge_cap, tile=256, reduce="mean"))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+def test_spmm_window_vjp_matches_segment_grad():
+    """spmm_window's custom VJP (exact transposed segment SpMM) matches
+    grads through the XLA spmm for sum/mean, and weighted-sum grads flow to
+    x with zero weight-grads."""
+    import numpy as np
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm
+    from wholegraph_tpu.ops.spmm_pallas import spmm_window
+
+    rs = np.random.RandomState(5)
+    n, dim, width = 900, 128, 80
+    counts = rs.randint(1, 7, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    x = jnp.asarray(rs.randn(n, dim).astype(np.float32))
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    assert feasible
+    dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    rpj, colj, dstj = jnp.asarray(rp), jnp.asarray(col), jnp.asarray(dst)
+    for reduce in ("sum", "mean"):
+        g1 = jax.grad(lambda x: jnp.sum(jnp.sin(spmm_window(
+            rpj, colj, x, window=window, edge_cap=edge_cap,
+            reduce=reduce))))(x)
+        g2 = jax.grad(lambda x: jnp.sum(jnp.sin(spmm(
+            colj, dstj, x, n, reduce))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+    w = jnp.asarray(rs.rand(E).astype(np.float32))
+    gx, gw = jax.grad(lambda x, w: jnp.sum(spmm_window(
+        rpj, colj, x, window=window, edge_cap=edge_cap, reduce="sum",
+        edge_weight=w)), argnums=(0, 1))(x, w)
+    gx_ref = jax.grad(lambda x: jnp.sum(spmm(
+        colj, dstj, x, n, "sum", edge_weight=w)))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(gw).max()) == 0.0
+    # weighted mean is rejected (weight-sum vs edge-count normalisation)
+    with pytest.raises(Exception):
+        spmm_window(rpj, colj, x, window=window, edge_cap=edge_cap,
+                    reduce="mean", edge_weight=w)
+
+
+@pytest.mark.parametrize("model_type", ["sage", "gcn"])
+def test_windowed_full_graph_matches_plain(model_type):
+    """to_full_graph(windowed=True) attaches a feasible plan on a clustered
+    CSR, the conv layers route through the fused windowed SpMM, and both
+    forward and grads match the plain COO segment path."""
+    n, D, C = 600, 128, 4
+    rs = np.random.RandomState(7)
+    counts = rs.randint(2, 9, n)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(row_ptr[-1])
+    col = (
+        np.repeat(np.arange(n), counts) + rs.randint(-40, 41, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=E,
+        max_degree=int(counts.max()),
+    )
+    feats = jnp.asarray(rs.randn(n, D).astype(np.float32))
+    model = HomoGNN(model_type=model_type, hidden_dim=128, num_classes=C,
+                    num_layers=2)
+    fg_plain = g.to_full_graph()
+    fg_win = g.to_full_graph(windowed=True)
+    assert fg_win.row_ptr is not None and fg_win.window is not None
+    params = model.init(jax.random.PRNGKey(0), feats, graph=fg_plain)
+    out_plain = model.apply(params, feats, graph=fg_plain)
+    out_win = model.apply(params, feats, graph=fg_win)
+    np.testing.assert_allclose(np.asarray(out_win), np.asarray(out_plain),
+                               rtol=2e-4, atol=2e-4)
+    loss = lambda p, fg: jnp.sum(jnp.tanh(model.apply(p, feats, graph=fg)))
+    gp = jax.grad(loss)(params, fg_plain)
+    gw = jax.grad(loss)(params, fg_win)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4),
+        gp, gw,
+    )
+
+
+def test_windowed_full_graph_infeasible_falls_back():
+    """A random (non-clustered) CSR yields an infeasible plan (window ~ n
+    exceeds the max(2048, n/4) locality bar); windowed=True silently
+    returns the plain COO view."""
+    n = 20_000
+    row_ptr, col = hs.random_csr(n, avg_deg=6, seed=8)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=int(row_ptr[-1]),
+        max_degree=int(np.diff(row_ptr).max()),
+    )
+    fg = g.to_full_graph(windowed=True)
+    assert fg.row_ptr is None and fg.window is None

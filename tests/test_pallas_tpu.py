@@ -712,3 +712,43 @@ def test_gather_rows_window_splits_bitexact_tpu():
     a = gather_rows_window(table, ids, splits=1, **kw)
     b = gather_rows_window(table, ids, splits=4, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_gather_window_exact_tpu():
+    """Window-mode host gather (round 4: chunked big-DMA fetch + device
+    take) — bit-exact on dense clustered batches (window engages), sparse
+    batches (density gate -> spans), and scattered batches (size gate ->
+    spans -> per-row ring), incl. masked slots and an end-of-table window."""
+    from wholegraph_tpu.ops.gather_pallas import (
+        host_gather_rows_window,
+    )
+
+    N, dim = 2_000_000, 256
+    rs = np.random.RandomState(13)
+    table_np = (np.arange(N, dtype=np.float32)[:, None]
+                + np.arange(dim, dtype=np.float32) / 1000.0)
+    flat = jax.device_put(
+        table_np.reshape(-1),
+        jax.sharding.SingleDeviceSharding(
+            jax.devices()[0], memory_kind="pinned_host"
+        ),
+    )
+
+    def run(slots_np):
+        out = np.asarray(
+            host_gather_rows_window(flat, jnp.asarray(slots_np), dim=dim)
+        )
+        keep = slots_np >= 0
+        np.testing.assert_array_equal(out[keep], table_np[slots_np[keep]])
+
+    B = 50_000
+    # dense clustered (density 0.8): the window branch
+    s = (700_000 + np.sort(rs.choice(int(B / 0.8), B, replace=False))).astype(np.int32)
+    s[::9] = -1
+    run(s)
+    # end-of-table window (lo clamp path)
+    run(np.arange(N - 40_000, N).astype(np.int32))
+    # sparse in a wide span (density gate -> spans branch)
+    run((500_000 + rs.choice(400_000, 8192, replace=False)).astype(np.int32))
+    # fully scattered (size gate -> spans -> ring)
+    run(rs.choice(N, 8192, replace=False).astype(np.int32))

@@ -75,17 +75,23 @@ def _host_take(host_shard: Array, slots: Array, dim: int) -> Array:
 
     TPU: pallas DMA ring over the flat HOST memref — PCIe bytes proportional
     to the real (non-negative) slots, never a full-shard copy.  Large
-    batches go through the span-coalescing gather (sorted slots merged into
-    ~32 KB multi-page DMAs, the reference's sorted-indices host path,
-    gather_op.cpp:118-120) with an automatic exact fallback to the per-row
-    ring when the batch is too scattered to coalesce.  Host shards are
-    stored flat by contract: host-space buffers cannot be reshaped
-    in-program (see gather_pallas host-space constraints)."""
+    batches go through the window-mode gather (round 4: the whole [min,max]
+    slot range fetched with a few BIG chunked host DMAs at the link's
+    ~14 GB/s single-DMA rate, then a device-side take), which lax.cond-falls
+    back to the span-coalescing gather (sorted slots merged into ~32 KB
+    multi-page DMAs, the reference's sorted-indices host path,
+    gather_op.cpp:118-120) when the span is too wide, and from there to the
+    per-row ring when too scattered to coalesce — every tier exact.  Host
+    shards are stored flat by contract: host-space buffers cannot be
+    reshaped in-program (see gather_pallas host-space constraints)."""
     if _use_host_kernels(dim, host_shard.dtype):
-        from ..ops.gather_pallas import host_gather_rows, host_gather_rows_spans
+        from ..ops.gather_pallas import (
+            host_gather_rows,
+            host_gather_rows_window,
+        )
 
         if slots.shape[0] >= 4096:
-            return host_gather_rows_spans(host_shard, slots, dim=dim)
+            return host_gather_rows_window(host_shard, slots, dim=dim)
         return host_gather_rows(host_shard, slots, dim=dim)
     safe = jnp.where(slots >= 0, slots, 0)
     return jnp.take(host_shard.reshape(-1, dim), safe, axis=0, mode="clip")

@@ -32,22 +32,59 @@ Array = jax.Array
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class FullGraph:
-    """COO edges (sorted by dst) over a single node set of static size."""
+    """COO edges (sorted by dst) over a single node set of static size.
+
+    When built with ``GraphStructure.to_full_graph(windowed=True)`` on a
+    locality-ordered CSR, carries the CSR ``row_ptr`` plus a feasible
+    ``(window, edge_cap)`` tile plan — sum/mean aggregations then route
+    through the fused pallas windowed SpMM (ops/spmm_pallas.spmm_window,
+    ~4x the segment-sum path on v5e) instead of gather+segment_sum."""
 
     edge_src: Array
     edge_dst: Array
     num_nodes: int
     edge_type: Optional[Array] = None
+    row_ptr: Optional[Array] = None
+    window: Optional[int] = None  # static plan (plan_spmm_tiles), or None
+    edge_cap: Optional[int] = None
 
     def tree_flatten(self):
-        return (self.edge_src, self.edge_dst, self.edge_type), (self.num_nodes,)
+        return (
+            (self.edge_src, self.edge_dst, self.edge_type, self.row_ptr),
+            (self.num_nodes, self.window, self.edge_cap),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], aux[0], ch[2])
+        return cls(ch[0], ch[1], aux[0], ch[2], ch[3], aux[1], aux[2])
 
 
 Adj = Union[HopSubgraph, FullGraph]
+
+
+def _fg_spmm(g: "FullGraph", x: Array, reduce: str,
+             edge_weight: Optional[Array] = None) -> Array:
+    """Full-graph aggregation: fused windowed SpMM when the graph carries a
+    feasible tile plan (and the shape qualifies), XLA segment path
+    otherwise.  Both are exact; spmm_window's VJP is the exact transposed
+    segment SpMM."""
+    if (
+        g.row_ptr is not None
+        and g.window is not None
+        and x.shape[-1] % 128 == 0
+        and reduce in ("sum", "mean")
+        and not (reduce == "mean" and edge_weight is not None)
+    ):
+        from ..ops.spmm_pallas import spmm_window
+
+        return spmm_window(
+            g.row_ptr, g.edge_src, x, window=g.window, edge_cap=g.edge_cap,
+            reduce=reduce, edge_weight=edge_weight,
+        ).astype(x.dtype)
+    return S.spmm(
+        g.edge_src, g.edge_dst, x, g.num_nodes, reduce,
+        edge_weight=edge_weight,
+    )
 
 
 def _self_feats(x: Array, g: Adj) -> Array:
@@ -59,7 +96,7 @@ def _self_feats(x: Array, g: Adj) -> Array:
 def _neighbor_mean(x: Array, g: Adj) -> Array:
     if isinstance(g, HopSubgraph):
         return S.padded_reduce(x, g.nbr_idx, g.mask, "mean")
-    return S.spmm(g.edge_src, g.edge_dst, x, g.num_nodes, "mean")
+    return _fg_spmm(g, x, "mean")
 
 
 class SAGEConv(nn.Module):
@@ -76,7 +113,7 @@ class SAGEConv(nn.Module):
         if isinstance(g, HopSubgraph):
             xn = S.padded_reduce(x, g.nbr_idx, g.mask, self.aggregator)
         else:
-            xn = S.spmm(g.edge_src, g.edge_dst, x, g.num_nodes, self.aggregator)
+            xn = _fg_spmm(g, x, self.aggregator)
         # concat[self, neigh] @ W == W_self·x + W_neigh·neigh (reference concat form)
         h = jnp.concatenate([xs, xn], axis=-1)
         return nn.Dense(self.out_dim, use_bias=self.use_bias, name="proj")(h)
@@ -140,7 +177,7 @@ class GCNConv(nn.Module):
                 jax.ops.segment_sum(ones, g.edge_dst, num_segments=g.num_nodes) + 1
             )
             inv = jax.lax.rsqrt(deg)
-            agg = S.spmm(g.edge_src, g.edge_dst, h * inv[:, None], g.num_nodes, "sum")
+            agg = _fg_spmm(g, h * inv[:, None], "sum")
             out = (agg + h * inv[:, None]) * inv[:, None]
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (self.out_dim,))

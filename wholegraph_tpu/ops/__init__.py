@@ -10,10 +10,12 @@ from .gather import (
 from .gather_pallas import (
     choose_gather_kernel,
     gather_rows_window,
+    host_gather_rows_window,
     local_take_sorted,
     window_coverage,
 )
 from . import spmm
+from .spmm_pallas import spmm_window
 from .graph_ops import (
     add_self_loop_padded,
     append_unique,
@@ -36,6 +38,8 @@ __all__ = [
     "choose_gather_kernel",
     "gather_rows_window",
     "window_coverage",
+    "host_gather_rows_window",
+    "spmm_window",
     "add_self_loop_padded",
     "append_unique",
     "csr_add_self_loop",

@@ -21,6 +21,7 @@ embedding.cpp:43-50).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -1117,6 +1118,166 @@ def host_gather_rows(
     out = out.reshape(Bp, rpp, dim)
     r = jnp.where(slots >= 0, slots % rpp, 0)
     return jnp.take_along_axis(out, r[:, None, None], axis=1)[:, 0][:B]
+
+
+def _host_window_fetch_kernel(
+    lo_ref, n_ref, flat_ref, out_ref, sems, *, ce, max_chunks, n_inflight,
+    page_elems,
+):
+    """Fetch ``n_ref[0]`` contiguous ``ce``-element chunks starting at host
+    element offset ``lo_ref[0]`` into a flat device buffer — the host link
+    runs at its single-big-DMA rate (~14 GB/s v5e, exp_host_dma13) instead
+    of the masked per-span ring's ~10.35 issue-bound rate."""
+
+    def dma(j):
+        # HOST memrefs carry a (4 KB page) element tiling; Mosaic must PROVE
+        # dynamic slice offsets divisible by it (r4: unhinted offsets fail
+        # to compile).  lo is page-aligned by the plan; ce % page == 0.
+        off = pl.multiple_of(lo_ref[0] + j * ce, page_elems)
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(off, ce)],
+            out_ref.at[pl.ds(j * ce, ce)],
+            sems.at[j % n_inflight],
+        )
+
+    n = n_ref[0]
+
+    def issue(j, _):
+        @pl.when(jnp.logical_and(j >= n_inflight, j - n_inflight < n))
+        def _w():
+            dma(j - n_inflight).wait()
+
+        @pl.when(j < n)
+        def _s():
+            dma(j).start()
+
+        return 0
+
+    lax.fori_loop(0, max_chunks, issue, 0, unroll=True)
+
+    def drain(k, _):
+        j = max_chunks - n_inflight + k
+
+        @pl.when(jnp.logical_and(j >= 0, j < n))
+        def _w():
+            dma(j).wait()
+
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _host_window_plan(slots: Array, dim: int, page_elems: int, ce: int,
+                      max_chunks: int, flat_len: int,
+                      min_density: float = 0.0):
+    """Window-mode host-fetch plan (pure jnp — CPU-testable).
+
+    Returns (lo int32 element offset — aligned to lcm(dim, page) and
+    clamped so every chunk stays inside ``flat_len``; nc int32 chunk count;
+    rel [B] int32 row index into the fetched window in original slot order;
+    infeasible bool — window exceeds ``max_chunks`` chunks, the table is
+    smaller than one chunk span, or the requested rows are too SPARSE in
+    their span (< ``min_density``, duplicates counted: they are served free
+    by the take) for whole-window fetching to beat span coalescing)."""
+    valid = slots >= 0
+    big = jnp.int32(2**31 - 1)
+    lo_row = jnp.min(jnp.where(valid, slots, big))
+    hi_row = jnp.max(jnp.where(valid, slots, -1))
+    any_valid = hi_row >= 0
+    lo_row = jnp.where(any_valid, lo_row, 0)
+    hi_row = jnp.where(any_valid, hi_row, 0)
+    # int32 throughout: host tables honor the flat_len < 2**31 element
+    # contract (HostEmbedding checks capacity*dim < 2**31)
+    align = math.lcm(dim, page_elems)
+    lo = lo_row * dim // align * align
+    need = (hi_row + 1) * dim - lo
+    nc = (need + ce - 1) // ce
+    # nc_c*ce stays < 2**31 (nc_c <= max_chunks); raw nc*ce might not
+    nc_c = jnp.minimum(nc, max_chunks)
+    infeasible = (nc > max_chunks) | (nc_c * ce > flat_len)
+    if min_density > 0:
+        span_rows = hi_row - lo_row + 1
+        infeasible |= (
+            jnp.sum(valid).astype(jnp.float32)
+            < span_rows.astype(jnp.float32) * min_density
+        )
+    # clamp lo down so lo + nc*ce <= flat_len (flat_len % align == 0 is the
+    # caller's contract, so coverage of hi is preserved by the clamp)
+    lo = jnp.clip(
+        jnp.minimum(lo, (flat_len - nc_c * ce) // align * align), 0, None
+    )
+    rel = jnp.where(valid, slots - lo // dim, 0).astype(jnp.int32)
+    return lo.astype(jnp.int32), nc_c.astype(jnp.int32), rel, infeasible
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dim", "chunk_mb", "max_window_mb", "n_inflight", "min_density",
+    ),
+)
+def host_gather_rows_window(
+    flat: Array,
+    slots: Array,
+    *,
+    dim: int,
+    chunk_mb: int = 16,
+    max_window_mb: int = 1024,
+    n_inflight: int = 4,
+    min_density: float = 0.5,
+) -> Array:
+    """Window-mode host gather: fetch the whole contiguous [min, max] slot
+    range with a few BIG chunked host DMAs (~14 GB/s on v5e — the host
+    link's single-DMA rate, vs ~10.35 for the masked per-span issue ring,
+    exp_host_dma12/13), then take the requested rows on device.  EXACT for
+    any slots; profitable when they are DENSE in their span (window bytes =
+    span x rowbytes regardless of batch size).  Spans beyond
+    ``max_window_mb`` fall back wholesale to the span-coalescing gather
+    (which itself falls back to the per-row ring) under a lax.cond —
+    exactness never depends on clustering.
+
+    slots < 0 -> garbage row (mask downstream), same contract as
+    :func:`host_gather_rows`.
+    """
+    isz = jnp.dtype(flat.dtype).itemsize
+    page_elems = _HOST_PAGE // isz
+    ce = chunk_mb * (1 << 20) // isz
+    assert ce % page_elems == 0
+    max_chunks = max_window_mb // chunk_mb
+    align = math.lcm(dim, page_elems)
+    flat_len = flat.shape[0]
+    if flat_len % align or flat_len < ce or host_layout(dim, flat.dtype)[0] == 0:
+        # table layout outside the window contract: span path handles it
+        return host_gather_rows_spans(flat, slots, dim=dim)
+    slots = slots.astype(jnp.int32)
+    lo, nc, rel, infeasible = _host_window_plan(
+        slots, dim, page_elems, ce, max_chunks, flat_len,
+        min_density=min_density,
+    )
+
+    def window_branch(_):
+        fetched = pl.pallas_call(
+            functools.partial(
+                _host_window_fetch_kernel, ce=ce, max_chunks=max_chunks,
+                n_inflight=n_inflight, page_elems=page_elems,
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HOST),
+            ],
+            # HBM MemoryRef out_shape: see _host_fetch_chunks
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=pltpu.MemorySpace.HBM((max_chunks * ce,), flat.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(lo.reshape(1), nc.reshape(1), flat)
+        return jnp.take(fetched.reshape(-1, dim), rel, axis=0, mode="clip")
+
+    def span_branch(_):
+        return host_gather_rows_spans(flat, slots, dim=dim)
+
+    return lax.cond(infeasible, span_branch, window_branch, None)
 
 
 def _span_geometry(dim: int, itemsize: int, span_bytes: int = 32768) -> int:

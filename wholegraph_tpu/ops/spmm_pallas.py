@@ -277,10 +277,14 @@ def _spmm_window_kernel(
                     jnp.where(onehot8[j], vT, 0), axis=1, keepdims=True
                 )
                 lhs = oh_dst.astype(jnp.float32) * wv
+                # HIGHEST: TPU's default f32 dot is a single bf16 MXU pass
+                # (~1e-2 relative — the r4 hardware sweep failed on exactly
+                # this); oh_src is 0/1 (bf16-exact), lhs carries the weights.
                 contrib = jax.lax.dot_general(
                     lhs, oh_src.astype(jnp.float32),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 contrib = jax.lax.dot_general(
@@ -294,9 +298,14 @@ def _spmm_window_kernel(
     jax.lax.fori_loop(0, ng, group, 0)
 
     A = acc[...].astype(jnp.float32)
+    # HIGHEST (bf16 multi-pass ~ f32): the default single bf16 pass loses
+    # ~1e-2 relative on the window values; A@win is amortized over the
+    # tile's edges so the extra passes are ~free (A-build int8 dots
+    # dominate the MXU budget and stay exact single-pass).
     out_t = jax.lax.dot_general(
         A, win[slot], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if reduce == "mean":
         cnt = jnp.sum(A, axis=1, keepdims=True)
@@ -402,6 +411,62 @@ def _spmm_window_impl(
     return out[:n]
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def _spmm_window_diff(row_ptr, col, x, edge_weight, W, edge_cap, tile,
+                      reduce, interpret):
+    return _spmm_window_impl(
+        row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
+        reduce=reduce, interpret=interpret,
+    )
+
+
+def _sw_fwd(row_ptr, col, x, edge_weight, W, edge_cap, tile, reduce,
+            interpret):
+    out = _spmm_window_impl(
+        row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
+        reduce=reduce, interpret=interpret,
+    )
+    return out, (row_ptr, col, x.shape, edge_weight)
+
+
+def _sw_bwd(W, edge_cap, tile, reduce, interpret, res, ct):
+    # dx[s] = Σ_{(s,d)∈E} w_e · (ct[d] / deg_d if mean else ct[d]) — the
+    # TRANSPOSED SpMM, computed exactly through the XLA segment path (the
+    # backward is a scatter over sources, outside the windowed kernel's
+    # dst-tile structure; full-graph training steps are not the hot path).
+    row_ptr, col, x_shape, edge_weight = res
+    n = row_ptr.shape[0] - 1
+    E = col.shape[0]
+    rp = row_ptr.astype(jnp.int32)
+    edge_dst = (
+        jnp.searchsorted(
+            rp, jnp.arange(E, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    ctd = ct
+    if reduce == "mean":
+        deg = (rp[1:] - rp[:-1]).astype(ct.dtype)
+        ctd = ct / jnp.maximum(deg, 1)[:, None]
+    msgs = jnp.take(ctd, edge_dst, axis=0, mode="clip")
+    if edge_weight is not None:
+        msgs = msgs * edge_weight.astype(ct.dtype)[:, None]
+    dx = jax.ops.segment_sum(msgs, col.astype(jnp.int32), num_segments=x_shape[0])
+    dw = None
+    if edge_weight is not None:
+        # d loss / d w_e = <ct[d], x[s]> — but x isn't saved; weighted
+        # full-graph training re-derives it from the residual-free path is
+        # not possible here, so weighted edges are non-differentiable
+        # w.r.t. the WEIGHTS (grads flow to x only).  Match by zeros.
+        dw = jnp.zeros_like(edge_weight)
+    return (None, None, dx.astype(ct.dtype), dw)
+
+
+_spmm_window_diff.defvjp(_sw_fwd, _sw_bwd)
+
+
 def spmm_window(
     row_ptr: Array,
     col: Array,
@@ -419,18 +484,25 @@ def spmm_window(
     :func:`wholegraph_tpu.ops.spmm.plan_spmm_tiles` (same contract as
     spmm_tiled: any tile whose source span exceeds ``window`` yields zeros
     for the out-of-window edges — use the plan's ``feasible`` flag).
-    Forward-only (full-graph inference/eval path); training mini-batches use
-    the padded path."""
+    Differentiable w.r.t. ``x`` (backward = exact transposed SpMM through
+    the XLA segment path); weighted edges get zero weight-grads.  Weighted
+    ``mean`` is rejected: the kernel would normalise by the weight sum, not
+    the edge count, silently diverging from :func:`ops.spmm.spmm`."""
     from ..utils.error import check_input
 
     check_input(reduce in ("sum", "mean"), f"unknown reduce {reduce!r}")
+    check_input(
+        not (reduce == "mean" and edge_weight is not None),
+        "spmm_window: weighted mean is unsupported (weight-sum vs edge-count "
+        "normalisation mismatch) — use reduce='sum' and normalise outside",
+    )
     # +32 guards the w0 align-down (w0 = min_col rounded DOWN to 32 keeps
     # every in-plan col strictly inside [w0, w0 + W))
     W = -(-(window + 32) // 128) * 128
     check_input(x.shape[1] % 128 == 0, "dim must be a multiple of 128")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _spmm_window_impl(
-        row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=int(edge_cap),
-        reduce=reduce, interpret=interpret,
+    return _spmm_window_diff(
+        row_ptr, col, x, edge_weight, W, int(edge_cap), tile, reduce,
+        bool(interpret),
     )
