@@ -74,6 +74,9 @@ def _fg_spmm(g: "FullGraph", x: Array, reduce: str,
         and x.shape[-1] % 128 == 0
         and reduce in ("sum", "mean")
         and not (reduce == "mean" and edge_weight is not None)
+        # off-TPU the kernel runs in interpret mode (a Python grid loop) —
+        # keep that to small graphs (CPU test coverage), never eval-scale
+        and (jax.default_backend() == "tpu" or g.num_nodes <= 4096)
     ):
         from ..ops.spmm_pallas import spmm_window
 
