@@ -392,6 +392,40 @@ def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     return E / dt, dt
 
 
+def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
+    """Full-graph SDDMM over the same locality-ordered CSR through the
+    fused pallas windowed kernel (ops/spmm_pallas.py sddmm_window): per dst
+    tile ONE S = a @ window^T matmul + in-VMEM one-hot extraction, vs the
+    XLA per-edge 2-row-gather sddmm."""
+    import numpy as np
+
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles
+    from wholegraph_tpu.ops.spmm_pallas import sddmm_window
+
+    rs = np.random.RandomState(0)
+    counts = rs.randint(max(deg // 2, 1), deg * 2, n)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, int(row_ptr[-1]))
+    ).clip(0, n - 1).astype(np.int32)
+    E = int(row_ptr[-1])
+    tile = 256
+    window, edge_cap, feasible = plan_spmm_tiles(row_ptr, col, tile=tile)
+    rp_d, col_d = jnp.asarray(row_ptr), jnp.asarray(col)
+    a = jax.jit(lambda: jnp.ones((n, dim), jnp.float32))()
+
+    def step(i, rp_d, col_d, a):
+        e = sddmm_window(
+            rp_d, col_d, a * (1.0 + i * 0.0), a, window=window,
+            edge_cap=edge_cap, tile=tile,
+        )
+        return e[0]
+
+    dt = measure_median(step, iters, rp_d, col_d, a)
+    return E / dt, dt
+
+
 def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
                      hidden=256, num_classes=16, iters=8):
     """End-to-end sampled train step: 2-layer SAGE, B=1024, TRAINABLE
@@ -533,6 +567,7 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "spmm_clustered",
+            "sddmm_clustered",
             "scaling", "host_gather", "host_gather_sorted", "train_step",
         ],
         help="default gather_sorted: the production embedding-gather path on "
@@ -593,6 +628,18 @@ def main():
         sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
         print(json.dumps({
             "metric": "spmm_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
+    if args.metric == "sddmm_clustered":
+        n = 1 << 20 if backend == "tpu" else 1 << 14
+        eps, dt = bench_sddmm_clustered(n=n, dim=args.dim, iters=args.iters)
+        # SoL proxy: one a-row + one b-row read per edge at full HBM rate
+        sol_eps = detect_hbm_gbps() * 1e9 / (2 * args.dim * 4)
+        print(json.dumps({
+            "metric": "sddmm_clustered_throughput",
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),

@@ -594,3 +594,34 @@ def test_windowed_full_graph_infeasible_falls_back():
     )
     fg = g.to_full_graph(windowed=True)
     assert fg.row_ptr is None and fg.window is None
+
+
+def test_sddmm_window_interpret_matches_xla():
+    """Windowed SDDMM (round 4): per-tile S = a @ window^T + one-hot
+    extraction vs the XLA per-edge sddmm."""
+    import numpy as np
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, sddmm
+    from wholegraph_tpu.ops.spmm_pallas import sddmm_window
+
+    rs = np.random.RandomState(9)
+    n, dim, width = 1500, 128, 90
+    counts = rs.randint(0, 9, n)  # includes empty rows
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    a = rs.randn(n, dim).astype(np.float32)
+    b = rs.randn(n, dim).astype(np.float32)
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    assert feasible
+    dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    ref = np.asarray(sddmm(jnp.asarray(col), jnp.asarray(dst),
+                           jnp.asarray(a), jnp.asarray(b)))
+    got = np.asarray(sddmm_window(jnp.asarray(rp), jnp.asarray(col),
+                                  jnp.asarray(a), jnp.asarray(b),
+                                  window=window, edge_cap=edge_cap,
+                                  tile=256))
+    assert got.shape == (E,)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

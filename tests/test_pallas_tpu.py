@@ -752,3 +752,84 @@ def test_host_gather_window_exact_tpu():
     run((500_000 + rs.choice(400_000, 8192, replace=False)).astype(np.int32))
     # fully scattered (size gate -> spans -> ring)
     run(rs.choice(N, 8192, replace=False).astype(np.int32))
+
+
+def test_apply_dump_scatter_bitequal_tpu():
+    """The r4 apply ring (UNCONDITIONAL scatters + row-0 dump & post-fix —
+    masked per-DMA guards measured 2.7x slower, exp_apply_scatter.py) must
+    be BIT-equal to the XLA take/.at[].set path, specifically including
+    local row 0's table AND optimizer slots when row 0 is (a) genuinely
+    updated, (b) only dump-written by masked padding."""
+    from unittest import mock
+
+    from wholegraph_tpu.embedding import Embedding, create_optimizer
+    from wholegraph_tpu.parallel import create_global_mesh
+
+    mesh = create_global_mesh()
+    n, dim, B = 40_000, 256, 4096
+    rs = np.random.RandomState(17)
+    emb = Embedding.create(mesh, n, dim,
+                           optimizer=create_optimizer("lazy_adam"))
+    table_np = rs.randn(n, dim).astype(np.float32)
+    # apply_gradients donates the state buffers — rebuild per run
+    make_state = lambda: emb.from_array(table_np)
+
+    for tag, touch0 in (("row0-touched", True), ("row0-padding-only", False)):
+        ids_np = rs.randint(1, n, B).astype(np.int32)
+        mask_np = np.ones(B, bool)
+        mask_np[::11] = False  # masked padding -> dump writes to row 0
+        if touch0:
+            ids_np[5] = 0  # logical id 0 == local slot 0 on shard 0
+            mask_np[5] = True
+        ids = jnp.asarray(ids_np)
+        mask = jnp.asarray(mask_np)
+        grads = jnp.asarray(rs.randn(B, dim).astype(np.float32))
+
+        from wholegraph_tpu.embedding.embedding import _build_apply_fn
+
+        ring = emb.apply_gradients(make_state(), ids, grads, 1e-2, mask=mask)
+        _build_apply_fn.cache_clear()  # the backend gate is trace-time
+        with mock.patch("jax.default_backend", return_value="cpu"):
+            # forces _optimizer_step's XLA take/.at[].set fallback; all ops
+            # inside still execute on the TPU
+            ref = emb.apply_gradients(make_state(), ids, grads, 1e-2, mask=mask)
+        _build_apply_fn.cache_clear()
+
+        np.testing.assert_array_equal(
+            np.asarray(emb.table_2d(ring)), np.asarray(emb.table_2d(ref)),
+            err_msg=f"{tag}: table",
+        )
+        for s in ring.slots:
+            np.testing.assert_array_equal(
+                np.asarray(ring.slots[s]).reshape(-1, dim),
+                np.asarray(ref.slots[s]).reshape(-1, dim),
+                err_msg=f"{tag}: slot {s}",
+            )
+
+
+def test_sddmm_window_matches_xla_tpu():
+    """Windowed SDDMM on silicon vs the XLA per-edge sddmm (covers the S
+    matmul precision, the one-hot extraction, and the block flattening)."""
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, sddmm
+    from wholegraph_tpu.ops.spmm_pallas import sddmm_window
+
+    rs = np.random.RandomState(21)
+    n, dim, width = 20_000, 256, 160
+    counts = rs.randint(0, 12, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    a = rs.randn(n, dim).astype(np.float32)
+    b = rs.randn(n, dim).astype(np.float32)
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    assert feasible
+    dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    ref = np.asarray(sddmm(jnp.asarray(col), jnp.asarray(dst),
+                           jnp.asarray(a), jnp.asarray(b)))
+    got = np.asarray(sddmm_window(jnp.asarray(rp), jnp.asarray(col),
+                                  jnp.asarray(a), jnp.asarray(b),
+                                  window=window, edge_cap=edge_cap))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

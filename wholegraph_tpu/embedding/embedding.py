@@ -47,6 +47,12 @@ from .optimizers import SGD, SparseOptimizer
 
 Array = jax.Array
 
+# apply-step ring config (see _optimizer_step); env-overridable for A/Bs
+import os as _os
+
+_APPLY_PER_STEP = int(_os.environ.get("WGTPU_APPLY_PER_STEP", "256"))
+_APPLY_INFLIGHT = int(_os.environ.get("WGTPU_APPLY_INFLIGHT", "256"))
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -109,7 +115,7 @@ def _optimizer_step(
     if use_ring:
         from ..ops.gather_pallas import (
             _gather_rows_pallas3_impl,
-            scatter_rows_masked3,
+            scatter_rows_pallas3,
         )
 
         # per_step=256 (not the ring default 1024): Mosaic fully unrolls
@@ -119,24 +125,64 @@ def _optimizer_step(
         # ~0.15 us/step extra launch overhead.  The SMEM id block itself
         # stays 1024 (Mosaic requires it to match XLA's s32 tile — a 256
         # block fails layout verification on hardware); the unroll bound
-        # rides the ring's second grid dimension instead.
-        kb = dict(id_block=1024, per_step=256, n_inflight=128)
-        idx = take_idx.astype(jnp.int32)
-        pad = -R % kb["id_block"]
-        if pad:
-            idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
-        prow = _gather_rows_pallas3_impl(shard, idx, **kb)[:R].astype(jnp.float32)
-        srow = {
-            n: _gather_rows_pallas3_impl(s, idx, **kb)[:R].astype(jnp.float32)
+        # rides the ring's second grid dimension instead.  n_inflight=256
+        # (the r3 gather-ring optimum); both knobs env-overridable for ring
+        # config A/Bs (read once at import).
+        kb = dict(id_block=1024, per_step=_APPLY_PER_STEP,
+                  n_inflight=_APPLY_INFLIGHT)
+        # pad is ALWAYS >= 1 (a full extra block when R divides evenly,
+        # ~8 us of ring time): pad positions read local row 0, so the
+        # gather output's row R carries row 0's PRE-update bytes — the
+        # dump-fix (below) needs them, and sourcing them from the gather
+        # instead of slicing the table again keeps the table's only uses
+        # at (gather, aliased scatter); an extra read between them forced
+        # XLA to copy the full table per ring (measured: 7.7 -> 4.2
+        # Mrows/s).
+        pad = (-R % kb["id_block"]) or kb["id_block"]
+        idx = jnp.concatenate(
+            [take_idx.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)]
+        )
+        pfull = _gather_rows_pallas3_impl(shard, idx, **kb).astype(jnp.float32)
+        prow, old0 = pfull[:R], pfull[R]
+        sfull = {
+            n: _gather_rows_pallas3_impl(s, idx, **kb).astype(jnp.float32)
             for n, s in zip(slot_names, slot_shards)
         }
+        srow = {n: v[:R] for n, v in sfull.items()}
+        sold0 = {n: v[R] for n, v in sfull.items()}
         new_rows, new_srow = opt.update(prow, grads, srow, step, lr)
-        wslots = jnp.where(valid, slots_local, -1).astype(jnp.int32)
-        shard = scatter_rows_masked3(
-            shard, wslots, new_rows.astype(shard.dtype), **kb
-        )
+
+        # UNCONDITIONAL scatters with a row-0 dump + post-fix: per-DMA
+        # `pl.when(valid)` guards cost ~2.7x on the scatter ring (measured
+        # r4, scripts/exp_apply_scatter.py: masked 45-55 GB/s in every
+        # ring config vs 124-186 unmasked — even with zero masked ids), so
+        # invalid/padded slots all write to local row 0 (a benign torn
+        # race) and row 0's CORRECT value is restored afterwards with one
+        # dynamic-update-slice per table.  Observable state — including
+        # row 0's optimizer slots when row 0 wasn't really touched — is
+        # identical to the masked form (the mask= padding contract holds).
+        wslots = jnp.concatenate([
+            jnp.where(valid, slots_local, 0).astype(jnp.int32),
+            jnp.zeros((pad,), jnp.int32),
+        ])
+        touch0 = valid & (slots_local == 0)
+        exists0 = jnp.any(touch0)
+        idx0 = jnp.argmax(touch0)
+
+        def dump_scatter(tab, new_r, old0_row):
+            rows_w = jnp.concatenate([
+                new_r.astype(tab.dtype),
+                jnp.zeros((pad, *new_r.shape[1:]), tab.dtype),
+            ])
+            fix = jnp.where(exists0, new_r[idx0], old0_row).astype(tab.dtype)
+            tab = scatter_rows_pallas3(tab, wslots, rows_w, **kb)
+            return jax.lax.dynamic_update_slice_in_dim(
+                tab, fix[None], 0, axis=0
+            )
+
+        shard = dump_scatter(shard, new_rows, old0)
         new_slot_shards = tuple(
-            scatter_rows_masked3(s, wslots, new_srow[n].astype(s.dtype), **kb)
+            dump_scatter(s, new_srow[n], sold0[n])
             for n, s in zip(slot_names, slot_shards)
         )
         return shard, new_slot_shards

@@ -313,16 +313,12 @@ def _spmm_window_kernel(
     out_ref[...] = out_t
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("T", "W", "edge_cap", "reduce", "interpret"),
-)
-def _spmm_window_impl(
-    row_ptr, col, x, edge_weight, *, T, W, edge_cap, reduce, interpret=False
-):
+def _window_tile_plan(row_ptr, col, *, T, edge_cap):
+    """Shared dst-tile plan for the windowed SpMM/SDDMM kernels: per-tile
+    window origins, edge-block origins/offsets, local row bounds, and the
+    128-lane-blocked col table."""
     n = row_ptr.shape[0] - 1
     E = col.shape[0]
-    N, D = x.shape
     nt = -(-n // T)
     n_pad = nt * T
     rp = row_ptr.astype(jnp.int32)
@@ -366,6 +362,27 @@ def _spmm_window_impl(
     col2 = jnp.concatenate(
         [colp.reshape(-1, 128), jnp.zeros((pad_rows, 128), jnp.int32)]
     )
+    return dict(
+        n=n, E=E, nt=nt, n_pad=n_pad, starts=starts, etile=etile,
+        rlo_p=rlo_p, rhi_p=rhi_p, ne=ne, w0s=w0s, blk0s=blk0s, off0s=off0s,
+        capb=capb, pad_rows=pad_rows, col2=col2,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "W", "edge_cap", "reduce", "interpret"),
+)
+def _spmm_window_impl(
+    row_ptr, col, x, edge_weight, *, T, W, edge_cap, reduce, interpret=False
+):
+    E = col.shape[0]
+    N, D = x.shape
+    p = _window_tile_plan(row_ptr, col, T=T, edge_cap=edge_cap)
+    n, nt, n_pad = p["n"], p["nt"], p["n_pad"]
+    rlo_p, rhi_p, ne = p["rlo_p"], p["rhi_p"], p["ne"]
+    w0s, blk0s, off0s = p["w0s"], p["blk0s"], p["off0s"]
+    capb, pad_rows, col2 = p["capb"], p["pad_rows"], p["col2"]
     weighted = edge_weight is not None
     if weighted:
         wp = jnp.concatenate(
@@ -505,4 +522,197 @@ def spmm_window(
     return _spmm_window_diff(
         row_ptr, col, x, edge_weight, W, int(edge_cap), tile, reduce,
         bool(interpret),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed SDDMM (round 4) — per-edge <a[dst], b[src]> on clustered CSRs
+# ---------------------------------------------------------------------------
+#
+# Same dst-tile structure as spmm_window, inverted dataflow: per tile ONE
+# dense S = a_tile @ window^T on the MXU ([T, W] — every candidate pair's
+# score), then each 128-edge block EXTRACTS its edges' scores with the same
+# in-VMEM one-hots (M = oh_dst @ S selects each edge's dst row; a masked
+# oh_src reduce picks its src column).  No per-edge gather of D-dim rows —
+# the XLA sddmm's 2E row reads collapse into one window read per tile.
+# Output layout: per-tile [capb, 128] edge blocks at local positions
+# (off0 + l); sddmm_window flattens back to [E] with one XLA take.
+
+
+def _sddmm_window_kernel(
+    w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
+    col2_ref, a_ref, b_ref, out_ref,
+    win, colbuf, sbuf, sems, csems,
+    *, T, W, D, capb, nt,
+):
+    t = pl.program_id(0)
+
+    def wcopy(slot, tt):
+        w0 = pl.multiple_of(w0s_ref[tt], 32)
+        return pltpu.make_async_copy(
+            b_ref.at[pl.ds(w0, W), :], win.at[slot], sems.at[slot]
+        )
+
+    def ccopy(slot, tt):
+        b0 = pl.multiple_of(blk0s_ref[tt], 8)
+        return pltpu.make_async_copy(
+            col2_ref.at[pl.ds(b0, capb), :], colbuf.at[slot], csems.at[slot]
+        )
+
+    @pl.when(t == 0)
+    def _first():
+        wcopy(0, 0).start()
+        ccopy(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _pref():
+        wcopy((t + 1) % 2, t + 1).start()
+        ccopy((t + 1) % 2, t + 1).start()
+
+    slot = t % 2
+    wcopy(slot, t).wait()
+    ccopy(slot, t).wait()
+
+    off0 = off0s_ref[t]
+    ne = ne_ref[t]
+    w0 = w0s_ref[t]
+    sub_sel8 = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0) == (t % 8)
+    rlo_row = jnp.sum(jnp.where(sub_sel8, rlo_ref[...], 0), axis=0,
+                      keepdims=True).reshape(1, T)
+    rhi_row = jnp.sum(jnp.where(sub_sel8, rhi_ref[...], 0), axis=0,
+                      keepdims=True).reshape(1, T)
+
+    # S[r, c] = <a_tile[r], window[c]> — every candidate score, one matmul.
+    # HIGHEST: the extraction below COPIES S entries to the output, so S
+    # itself must be f32-exact (default f32 dot = one bf16 pass, ~1e-2).
+    S = jax.lax.dot_general(
+        a_ref[...], win[slot], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [T, W]
+    sbuf[...] = S
+
+    out_ref[...] = jnp.zeros((capb, 128), jnp.float32)
+
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    lane_W = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    onehot8 = [
+        (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == j) for j in range(8)
+    ]
+    iota8_128 = [
+        (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == j) for j in range(8)
+    ]
+    ng = (off0 + ne + 1023) // 1024
+
+    def group(g, _):
+        cT = _transpose8(colbuf[slot, pl.ds(g * 8, 8), :])  # [128, 8]
+        rows8 = jnp.zeros((8, 128), jnp.float32)
+        for j in range(8):
+            colv = jnp.sum(jnp.where(onehot8[j], cT, 0), axis=1, keepdims=True)
+            pl_sub = g * 1024 + j * 128 + iota_sub - off0
+            valid = (pl_sub >= 0) & (pl_sub < ne)
+            oh_dst = ((pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid)
+            oh_src = (colv - w0 == lane_W) & valid
+            # M[e, :] = S[dst_e, :] (one-hot row select; oh_dst is 0/1 so
+            # bf16-exact on the LHS, S needs the f32 passes)
+            M = jax.lax.dot_general(
+                oh_dst.astype(jnp.float32), sbuf[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [128, W]
+            e_col = jnp.sum(jnp.where(oh_src, M, 0.0), axis=1,
+                            keepdims=True)  # [128, 1]
+            e_row = jnp.transpose(e_col, (1, 0))  # [1, 128]
+            rows8 = jnp.where(iota8_128[j], e_row, rows8)
+        out_ref[pl.ds(g * 8, 8), :] = rows8
+        return 0
+
+    jax.lax.fori_loop(0, ng, group, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "W", "edge_cap", "interpret")
+)
+def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
+    E = col.shape[0]
+    N, D = b.shape
+    p = _window_tile_plan(row_ptr, col, T=T, edge_cap=edge_cap)
+    n, nt, n_pad = p["n"], p["nt"], p["n_pad"]
+    capb = p["capb"]
+
+    a_pad = jnp.concatenate(
+        [a.astype(jnp.float32), jnp.zeros((n_pad - n, D), jnp.float32)]
+    )
+    b_pad = jnp.concatenate(
+        [b.astype(jnp.float32), jnp.zeros((W + 32, D), jnp.float32)]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sddmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt,
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # w0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # blk0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # off0s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ne
+            pl.BlockSpec((8, T), lambda t: (t // 8, 0)),  # rlo
+            pl.BlockSpec((8, T), lambda t: (t // 8, 0)),  # rhi
+            pl.BlockSpec(memory_space=pl.ANY),  # col2
+            pl.BlockSpec((T, D), lambda t: (t, 0)),  # a tile
+            pl.BlockSpec(memory_space=pl.ANY),  # b (window source)
+        ],
+        out_specs=pl.BlockSpec((capb, 128), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt * capb, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, D), jnp.float32),
+            pltpu.VMEM((2, capb, 128), jnp.int32),
+            pltpu.VMEM((T, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(p["w0s"], p["blk0s"], p["off0s"], p["ne"], p["rlo_p"], p["rhi_p"],
+      p["col2"], a_pad, b_pad)
+
+    # flatten: edge e sits at tile etile[e], local block-lane position
+    # off0[tile] + (e - starts[tile])
+    eidx = jnp.arange(E, dtype=jnp.int32)
+    etile = p["etile"]
+    posl = p["off0s"][etile] + eidx - p["starts"][etile]
+    flat_idx = etile * (capb * 128) + posl
+    return jnp.take(out.reshape(-1), flat_idx, mode="clip")
+
+
+def sddmm_window(
+    row_ptr: Array,
+    col: Array,
+    a: Array,
+    b: Array,
+    *,
+    window: int,
+    edge_cap: int,
+    tile: int = 256,
+    interpret: bool | None = None,
+) -> Array:
+    """Windowed SDDMM over a locality-ordered CSR: e_k = <a[dst_k],
+    b[col[k]]> for the CSR's dst-sorted edges (dst derived from row_ptr).
+    Same plan contract as :func:`spmm_window` (plan_spmm_tiles; out-of-
+    window edges yield zeros — gate on the plan's ``feasible``).
+    Forward-only; reference analog: cuGraph-Ops fused mha_gat_n2n's SDDMM
+    stage (gat_conv.py:22-102), XLA fallback ops/spmm.py sddmm."""
+    from ..utils.error import check_input
+
+    check_input(a.shape[1] == b.shape[1], "a/b dim mismatch")
+    check_input(a.shape[1] % 128 == 0, "dim must be a multiple of 128")
+    check_input(a.shape[0] == row_ptr.shape[0] - 1, "a rows != num_dst")
+    W = -(-(window + 32) // 128) * 128
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _sddmm_window_impl(
+        row_ptr, col, a, b, T=tile, W=W, edge_cap=int(edge_cap),
+        interpret=bool(interpret),
     )
