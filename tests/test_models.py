@@ -625,3 +625,16 @@ def test_sddmm_window_interpret_matches_xla():
                                   tile=256))
     assert got.shape == (E,)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sddmm_chunked_matches_plain():
+    E, N, D = 5000, 300, 64
+    rs = np.random.RandomState(33)
+    src = rs.randint(0, N, E).astype(np.int32)
+    dst = rs.randint(0, N, E).astype(np.int32)
+    a = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    b = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    ref = np.asarray(S.sddmm(jnp.asarray(src), jnp.asarray(dst), a, b))
+    got = np.asarray(S.sddmm_chunked(jnp.asarray(src), jnp.asarray(dst), a, b,
+                                     chunk=512))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)

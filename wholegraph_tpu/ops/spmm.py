@@ -149,12 +149,39 @@ def spmm(
 
 
 def sddmm(edge_src: Array, edge_dst: Array, a: Array, b: Array) -> Array:
-    """e_{(s,d)} = <a[d], b[s]> per edge — the SDDMM."""
+    """e_{(s,d)} = <a[d], b[s]> per edge — the SDDMM.
+
+    Materializes two ``[E, D]`` gathered intermediates — fine for sampled
+    edge lists; full-graph edge counts need :func:`sddmm_chunked` (at
+    E=25M/D=256 the intermediates are 2 x 26 GB and the compile OOMs a
+    16 GB chip — measured r4)."""
     return jnp.sum(
         jnp.take(a, edge_dst, axis=0, mode="clip")
         * jnp.take(b, edge_src, axis=0, mode="clip"),
         axis=-1,
     )
+
+
+def sddmm_chunked(
+    edge_src: Array, edge_dst: Array, a: Array, b: Array,
+    *, chunk: int = 1 << 20,
+) -> Array:
+    """:func:`sddmm` in O(chunk x D) memory: a lax.map over edge chunks
+    (the full-graph production path; XLA pipelines the chunked takes)."""
+    E = edge_src.shape[0]
+    pad = -E % chunk
+    src = jnp.concatenate([edge_src, jnp.zeros((pad,), edge_src.dtype)])
+    dst = jnp.concatenate([edge_dst, jnp.zeros((pad,), edge_dst.dtype)])
+    nchunks = src.shape[0] // chunk
+
+    def one(args):
+        s, d = args
+        return sddmm(s, d, a, b)
+
+    e = jax.lax.map(
+        one, (src.reshape(nchunks, chunk), dst.reshape(nchunks, chunk))
+    )
+    return e.reshape(-1)[:E]
 
 
 def edge_softmax(

@@ -595,6 +595,7 @@ def _sddmm_window_kernel(
     out_ref[...] = jnp.zeros((capb, 128), jnp.float32)
 
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    iota_grp = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
     lane_W = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
     onehot8 = [
         (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == j) for j in range(8)
@@ -605,24 +606,32 @@ def _sddmm_window_kernel(
     ng = (off0 + ne + 1023) // 1024
 
     def group(g, _):
+        # oh_dst needs NO column values (CSR row bounds give it from pure
+        # iota compares), so the group's 1024 edges get their dst-row
+        # scores in ONE [1024, T] @ [T, W] matmul — 8 per-sub-block
+        # matmuls with where-chains between them measured 6.9 Medges/s on
+        # v5e (pipeline serialization), the batched form is the fix.
+        pl_grp = g * 1024 + iota_grp - off0
+        valid_g = (pl_grp >= 0) & (pl_grp < ne)
+        oh_dst_g = (pl_grp >= rlo_row) & (pl_grp < rhi_row) & valid_g
+        M = jax.lax.dot_general(
+            oh_dst_g.astype(jnp.float32), sbuf[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [1024, W]; row e = S[dst_e, :] (one-hot copy — needs the f32
+        #    passes so S bytes survive; the lhs is 0/1, bf16-exact)
         cT = _transpose8(colbuf[slot, pl.ds(g * 8, 8), :])  # [128, 8]
         rows8 = jnp.zeros((8, 128), jnp.float32)
         for j in range(8):
             colv = jnp.sum(jnp.where(onehot8[j], cT, 0), axis=1, keepdims=True)
             pl_sub = g * 1024 + j * 128 + iota_sub - off0
             valid = (pl_sub >= 0) & (pl_sub < ne)
-            oh_dst = ((pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid)
             oh_src = (colv - w0 == lane_W) & valid
-            # M[e, :] = S[dst_e, :] (one-hot row select; oh_dst is 0/1 so
-            # bf16-exact on the LHS, S needs the f32 passes)
-            M = jax.lax.dot_general(
-                oh_dst.astype(jnp.float32), sbuf[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [128, W]
-            e_col = jnp.sum(jnp.where(oh_src, M, 0.0), axis=1,
-                            keepdims=True)  # [128, 1]
+            e_col = jnp.sum(
+                jnp.where(oh_src, M[j * 128:(j + 1) * 128, :], 0.0),
+                axis=1, keepdims=True,
+            )  # [128, 1]
             e_row = jnp.transpose(e_col, (1, 0))  # [1, 128]
             rows8 = jnp.where(iota8_128[j], e_row, rows8)
         out_ref[pl.ds(g * 8, 8), :] = rows8
