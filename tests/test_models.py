@@ -495,8 +495,8 @@ def test_spmm_window_interpret_matches_segment_sum():
 
 def test_spmm_window_vjp_matches_segment_grad():
     """spmm_window's custom VJP (exact transposed segment SpMM) matches
-    grads through the XLA spmm for sum/mean, and weighted-sum grads flow to
-    x with zero weight-grads."""
+    grads through the XLA spmm for sum/mean; weighted-sum grads flow to
+    BOTH x and the edge weights (dw = the windowed SDDMM, r5)."""
     import numpy as np
     from wholegraph_tpu.ops.spmm import plan_spmm_tiles, spmm
     from wholegraph_tpu.ops.spmm_pallas import spmm_window
@@ -524,14 +524,15 @@ def test_spmm_window_vjp_matches_segment_grad():
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-5)
     w = jnp.asarray(rs.rand(E).astype(np.float32))
-    gx, gw = jax.grad(lambda x, w: jnp.sum(spmm_window(
+    gx, gw = jax.grad(lambda x, w: jnp.sum(jnp.sin(spmm_window(
         rpj, colj, x, window=window, edge_cap=edge_cap, reduce="sum",
-        edge_weight=w)), argnums=(0, 1))(x, w)
-    gx_ref = jax.grad(lambda x: jnp.sum(spmm(
-        colj, dstj, x, n, "sum", edge_weight=w)))(x)
+        edge_weight=w))), argnums=(0, 1))(x, w)
+    gx_ref, gw_ref = jax.grad(lambda x, w: jnp.sum(jnp.sin(spmm(
+        colj, dstj, x, n, "sum", edge_weight=w))), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                rtol=1e-4, atol=1e-5)
-    assert float(jnp.abs(gw).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-5)
     # weighted mean is rejected (weight-sum vs edge-count normalisation)
     with pytest.raises(Exception):
         spmm_window(rpj, colj, x, window=window, edge_cap=edge_cap,
@@ -625,6 +626,92 @@ def test_sddmm_window_interpret_matches_xla():
                                   tile=256))
     assert got.shape == (E,)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sddmm_window_vjp_matches_xla_grads():
+    """sddmm_window's VJP (da = weighted windowed SpMM on the same plan,
+    db = transposed XLA segment path) matches autodiff through the XLA
+    per-edge sddmm (r5 — the GAT attention-gradient path)."""
+    import numpy as np
+    from wholegraph_tpu.ops.spmm import plan_spmm_tiles, sddmm
+    from wholegraph_tpu.ops.spmm_pallas import sddmm_window
+
+    rs = np.random.RandomState(11)
+    n, dim, width = 1100, 128, 70
+    counts = rs.randint(0, 8, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    a = jnp.asarray(rs.randn(n, dim).astype(np.float32))
+    b = jnp.asarray(rs.randn(n, dim).astype(np.float32))
+    window, edge_cap, feasible = plan_spmm_tiles(rp, col, tile=256)
+    assert feasible
+    dst = np.repeat(np.arange(n), counts).astype(np.int32)
+    rpj, colj, dstj = jnp.asarray(rp), jnp.asarray(col), jnp.asarray(dst)
+    da, db = jax.grad(lambda a, b: jnp.sum(jnp.sin(sddmm_window(
+        rpj, colj, a, b, window=window, edge_cap=edge_cap))),
+        argnums=(0, 1))(a, b)
+    da_ref, db_ref = jax.grad(lambda a, b: jnp.sum(jnp.sin(sddmm(
+        colj, dstj, a, b))), argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("add_self_loop", [True, False])
+def test_gat_windowed_full_graph_matches_plain(add_self_loop):
+    """GATConv's fused full-graph branch (edge-softmax + per-head weighted
+    windowed SpMM, the mha_gat_n2n analog) matches the per-edge XLA path in
+    forward AND parameter/feature gradients — including the attention
+    gradients through spmm_window's dw (r5)."""
+    import dataclasses as _dc
+    import numpy as np
+    from wholegraph_tpu.models.conv import GATConv
+
+    n, D, H = 700, 64, 4
+    rs = np.random.RandomState(13)
+    counts = rs.randint(0, 7, n)  # includes empty rows
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(row_ptr[-1])
+    col = (
+        np.repeat(np.arange(n), counts) + rs.randint(-35, 36, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col=jnp.asarray(col),
+        node_count=n,
+        edge_count=E,
+        max_degree=int(counts.max()),
+    )
+    fg_plain = g.to_full_graph()
+    fg_win = g.to_full_graph(windowed=True)
+    assert fg_win.row_ptr is not None
+    feats = jnp.asarray(rs.randn(n, 48).astype(np.float32))
+    layer = GATConv(out_dim=D, num_heads=H, add_self_loop=add_self_loop)
+    params = layer.init(jax.random.PRNGKey(1), feats, fg_plain)
+    out_plain = layer.apply(params, feats, fg_plain)
+    out_win = layer.apply(params, feats, fg_win)
+    np.testing.assert_allclose(np.asarray(out_win), np.asarray(out_plain),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss(p, x, fg):
+        return jnp.sum(jnp.tanh(layer.apply(p, x, fg)))
+
+    gp_p, gx_p = jax.grad(loss, argnums=(0, 1))(params, feats, fg_plain)
+    gp_w, gx_w = jax.grad(loss, argnums=(0, 1))(params, feats, fg_win)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        gp_p, gp_w,
+    )
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_p),
+                               rtol=1e-3, atol=1e-3)
+    # the attention params must get REAL gradients through the fused path
+    assert float(jnp.abs(gp_w["params"]["attn_src"]).max()) > 0
 
 
 def test_sddmm_chunked_matches_plain():

@@ -52,6 +52,19 @@ import os as _os
 
 _APPLY_PER_STEP = int(_os.environ.get("WGTPU_APPLY_PER_STEP", "256"))
 _APPLY_INFLIGHT = int(_os.environ.get("WGTPU_APPLY_INFLIGHT", "256"))
+# fail fast at import with a clear message: bad ring knobs otherwise die only
+# on hardware with an opaque Mosaic error (id_block=1024 must be a multiple
+# of per_step; inflight is bounded by the ~496-DMA-semaphore kernel cap)
+if _APPLY_PER_STEP < 1 or 1024 % _APPLY_PER_STEP:
+    raise ValueError(
+        f"WGTPU_APPLY_PER_STEP={_APPLY_PER_STEP} must divide the ring's "
+        "id_block (1024)"
+    )
+if not 1 <= _APPLY_INFLIGHT <= 496:
+    raise ValueError(
+        f"WGTPU_APPLY_INFLIGHT={_APPLY_INFLIGHT} out of range [1, 496] "
+        "(DMA-semaphore cap per kernel)"
+    )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -69,14 +69,9 @@ def _fg_spmm(g: "FullGraph", x: Array, reduce: str,
     otherwise.  Both are exact; spmm_window's VJP is the exact transposed
     segment SpMM."""
     if (
-        g.row_ptr is not None
-        and g.window is not None
-        and x.shape[-1] % 128 == 0
+        _fg_use_windowed(g, x.shape[-1] % 128 == 0)
         and reduce in ("sum", "mean")
         and not (reduce == "mean" and edge_weight is not None)
-        # off-TPU the kernel runs in interpret mode (a Python grid loop) —
-        # keep that to small graphs (CPU test coverage), never eval-scale
-        and (jax.default_backend() == "tpu" or g.num_nodes <= 4096)
     ):
         from ..ops.spmm_pallas import spmm_window
 
@@ -88,6 +83,101 @@ def _fg_spmm(g: "FullGraph", x: Array, reduce: str,
         g.edge_src, g.edge_dst, x, g.num_nodes, reduce,
         edge_weight=edge_weight,
     )
+
+
+def _fg_use_windowed(g: "FullGraph", lanes_ok: bool = True) -> bool:
+    """Gate for routing a FullGraph op through the windowed pallas kernels:
+    needs a feasible tile plan, and off-TPU (interpret mode = a Python grid
+    loop) only small graphs (CPU test coverage), never eval-scale."""
+    return (
+        g.row_ptr is not None
+        and g.window is not None
+        and lanes_ok
+        and (jax.default_backend() == "tpu" or g.num_nodes <= 4096)
+    )
+
+
+def _fg_gat_windowed(
+    g: "FullGraph",
+    featv: Array,  # [N, H, D] projected per-head features
+    e_src_n: Array,  # [N, H] src attention terms
+    e_dst_n: Array,  # [N, H] dst attention terms
+    *,
+    negative_slope: float,
+    add_self_loop: bool,
+) -> Array:
+    """Fused full-graph GAT message passing (mha_gat_n2n analog, reference
+    torch/cugraphops/gat_conv.py:73-101): per-edge logits from the CHEAP
+    [E, H] attention-term takes (H ~ 4-8 scalars per edge, not D-dim rows),
+    edge-softmax through the sorted segment ops, then the heavy per-edge
+    D-dim message aggregation through the WEIGHTED windowed SpMM — one
+    window slab read per dst tile instead of 2 D-dim row reads per edge.
+    Attention gradients flow through spmm_window's dw VJP (= the windowed
+    SDDMM on the same tile plan).  Self loops are handled analytically
+    (the self logit joins each node's softmax; the self message is an
+    elementwise add) so the CSR and its tile plan stay intact."""
+    N, H, D = featv.shape
+    src, rp = g.edge_src, g.row_ptr
+    E = src.shape[0]
+    edge_dst = (
+        jnp.searchsorted(
+            rp, jnp.arange(E, dtype=rp.dtype), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    logits = nn.leaky_relu(
+        jnp.take(e_src_n, src, axis=0, mode="clip")
+        + jnp.take(e_dst_n, edge_dst, axis=0, mode="clip"),
+        negative_slope=negative_slope,
+    )  # [E, H]
+    if add_self_loop:
+        l_self = nn.leaky_relu(
+            e_src_n + e_dst_n, negative_slope=negative_slope
+        )  # [N, H]
+        mx = jnp.maximum(
+            jax.ops.segment_max(
+                logits, edge_dst, num_segments=N, indices_are_sorted=True
+            ),
+            l_self,
+        )
+        mx = jax.lax.stop_gradient(mx)
+        z = jnp.exp(logits - jnp.take(mx, edge_dst, axis=0, mode="clip"))
+        z_self = jnp.exp(l_self - mx)
+        den = (
+            jax.ops.segment_sum(
+                z, edge_dst, num_segments=N, indices_are_sorted=True
+            )
+            + z_self
+        )
+        alpha = z / jnp.maximum(
+            jnp.take(den, edge_dst, axis=0, mode="clip"), 1e-16
+        )
+        alpha_self = z_self / jnp.maximum(den, 1e-16)  # [N, H]
+    else:
+        alpha = jax.vmap(
+            lambda lg: S.edge_softmax(edge_dst, lg, N, indices_are_sorted=True),
+            in_axes=1,
+            out_axes=1,
+        )(logits)
+        alpha_self = None
+
+    from ..ops.spmm_pallas import spmm_window
+
+    pad_D = -D % 128
+    outs = []
+    for h in range(H):
+        xh = featv[:, h, :]
+        if pad_D:
+            xh = jnp.pad(xh, ((0, 0), (0, pad_D)))
+        oh = spmm_window(
+            rp, src, xh, window=g.window, edge_cap=g.edge_cap,
+            reduce="sum", edge_weight=alpha[:, h],
+        )
+        outs.append(oh[:, :D].astype(featv.dtype))
+    out = jnp.stack(outs, axis=1)  # [N, H, D]
+    if alpha_self is not None:
+        out = out + alpha_self[..., None].astype(featv.dtype) * featv
+    return out
 
 
 def _self_feats(x: Array, g: Adj) -> Array:
@@ -225,24 +315,34 @@ class GATConv(nn.Module):
             featv = feat.reshape(-1, H, D)
             e_src_n = jnp.einsum("nhd,hd->nh", featv, a_src)
             e_dst_n = jnp.einsum("nhd,hd->nh", featv, a_dst)
-            src, dst = g.edge_src, g.edge_dst
-            if self.add_self_loop:
-                loop = jnp.arange(g.num_nodes, dtype=src.dtype)
-                src = jnp.concatenate([src, loop])
-                dst = jnp.concatenate([dst, loop])
-            logits = nn.leaky_relu(
-                jnp.take(e_src_n, src, axis=0) + jnp.take(e_dst_n, dst, axis=0),
-                negative_slope=self.negative_slope,
-            )  # [E, H]
-            alpha = jax.vmap(
-                lambda lg: S.edge_softmax(dst, lg, g.num_nodes, indices_are_sorted=False),
-                in_axes=1,
-                out_axes=1,
-            )(logits)
-            msgs = jnp.take(featv, src, axis=0) * alpha[..., None]  # [E, H, D]
-            out = jax.ops.segment_sum(
-                msgs.reshape(src.shape[0], H * D), dst, num_segments=g.num_nodes
-            ).reshape(-1, H, D)
+            if _fg_use_windowed(g):
+                # fused mha_gat_n2n analog: edge-softmax + per-head weighted
+                # windowed SpMM; no per-edge D-dim row reads in fwd OR in
+                # the attention backward (dw = windowed SDDMM)
+                out = _fg_gat_windowed(
+                    g, featv, e_src_n, e_dst_n,
+                    negative_slope=self.negative_slope,
+                    add_self_loop=self.add_self_loop,
+                )
+            else:
+                src, dst = g.edge_src, g.edge_dst
+                if self.add_self_loop:
+                    loop = jnp.arange(g.num_nodes, dtype=src.dtype)
+                    src = jnp.concatenate([src, loop])
+                    dst = jnp.concatenate([dst, loop])
+                logits = nn.leaky_relu(
+                    jnp.take(e_src_n, src, axis=0) + jnp.take(e_dst_n, dst, axis=0),
+                    negative_slope=self.negative_slope,
+                )  # [E, H]
+                alpha = jax.vmap(
+                    lambda lg: S.edge_softmax(dst, lg, g.num_nodes, indices_are_sorted=False),
+                    in_axes=1,
+                    out_axes=1,
+                )(logits)
+                msgs = jnp.take(featv, src, axis=0) * alpha[..., None]  # [E, H, D]
+                out = jax.ops.segment_sum(
+                    msgs.reshape(src.shape[0], H * D), dst, num_segments=g.num_nodes
+                ).reshape(-1, H, D)
         if self.concat_heads:
             return out.reshape(out.shape[0], H * D)
         return out.mean(axis=1)

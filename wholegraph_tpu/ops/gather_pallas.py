@@ -1246,7 +1246,18 @@ def host_gather_rows_window(
     max_chunks = max_window_mb // chunk_mb
     align = math.lcm(dim, page_elems)
     flat_len = flat.shape[0]
-    if flat_len % align or flat_len < ce or host_layout(dim, flat.dtype)[0] == 0:
+    # window-mode contract: ce % align == 0 makes (a) fetched.reshape(-1,
+    # dim) legal (ce % dim == 0 so max_chunks*ce % dim == 0) and (b) the
+    # end-of-table lo clamp coverage-preserving (lo and nc_c*ce both align-
+    # multiples => the clamped window still covers (hi_row+1)*dim).  Row
+    # sizes with lcm(dim, page) > ce (e.g. dim=3072 f32: align=3M > 16M? no,
+    # but non-power-of-2 row bytes give align > ce) route to the span path.
+    if (
+        flat_len % align
+        or ce % align
+        or flat_len < ce
+        or host_layout(dim, flat.dtype)[0] == 0
+    ):
         # table layout outside the window contract: span path handles it
         return host_gather_rows_spans(flat, slots, dim=dim)
     slots = slots.astype(jnp.int32)

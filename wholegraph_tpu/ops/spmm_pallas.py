@@ -445,15 +445,18 @@ def _sw_fwd(row_ptr, col, x, edge_weight, W, edge_cap, tile, reduce,
         row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
         reduce=reduce, interpret=interpret,
     )
-    return out, (row_ptr, col, x.shape, edge_weight)
+    # x is saved only when weighted (dw needs it); unweighted saves the shape
+    return out, (row_ptr, col,
+                 x if edge_weight is not None else x.shape, edge_weight)
 
 
 def _sw_bwd(W, edge_cap, tile, reduce, interpret, res, ct):
     # dx[s] = Σ_{(s,d)∈E} w_e · (ct[d] / deg_d if mean else ct[d]) — the
     # TRANSPOSED SpMM, computed exactly through the XLA segment path (the
     # backward is a scatter over sources, outside the windowed kernel's
-    # dst-tile structure; full-graph training steps are not the hot path).
-    row_ptr, col, x_shape, edge_weight = res
+    # dst-tile structure).
+    row_ptr, col, x_or_shape, edge_weight = res
+    x_shape = x_or_shape.shape if edge_weight is not None else x_or_shape
     n = row_ptr.shape[0] - 1
     E = col.shape[0]
     rp = row_ptr.astype(jnp.int32)
@@ -473,11 +476,16 @@ def _sw_bwd(W, edge_cap, tile, reduce, interpret, res, ct):
     dx = jax.ops.segment_sum(msgs, col.astype(jnp.int32), num_segments=x_shape[0])
     dw = None
     if edge_weight is not None:
-        # d loss / d w_e = <ct[d], x[s]> — but x isn't saved; weighted
-        # full-graph training re-derives it from the residual-free path is
-        # not possible here, so weighted edges are non-differentiable
-        # w.r.t. the WEIGHTS (grads flow to x only).  Match by zeros.
-        dw = jnp.zeros_like(edge_weight)
+        # d loss / d w_e = <ct[dst_e], x[src_e]> — exactly the windowed
+        # SDDMM with a=ct, b=x (same tile plan: the fwd's in-plan edges are
+        # the bwd's).  This closes the r4 silent-zero-weight-grad landmine:
+        # learnable edge weights (GAT attention) now train through the
+        # windowed path.  reduce == 'mean' never reaches here (weighted
+        # mean is rejected at the API).
+        dw = _sddmm_window_impl(
+            row_ptr, col, ct.astype(jnp.float32), x_or_shape.astype(jnp.float32),
+            T=tile, W=W, edge_cap=edge_cap, interpret=interpret,
+        ).astype(edge_weight.dtype)
     return (None, None, dx.astype(ct.dtype), dw)
 
 
@@ -502,7 +510,9 @@ def spmm_window(
     spmm_tiled: any tile whose source span exceeds ``window`` yields zeros
     for the out-of-window edges — use the plan's ``feasible`` flag).
     Differentiable w.r.t. ``x`` (backward = exact transposed SpMM through
-    the XLA segment path); weighted edges get zero weight-grads.  Weighted
+    the XLA segment path) AND ``edge_weight`` (backward = the windowed
+    SDDMM ``<ct[dst], x[src]>`` on the same tile plan — learnable edge
+    weights such as GAT attention train through this path).  Weighted
     ``mean`` is rejected: the kernel would normalise by the weight sum, not
     the edge count, silently diverging from :func:`ops.spmm.spmm`."""
     from ..utils.error import check_input
@@ -696,6 +706,51 @@ def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
     return jnp.take(out.reshape(-1), flat_idx, mode="clip")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sddmm_window_diff(row_ptr, col, a, b, W, edge_cap, tile, interpret):
+    return _sddmm_window_impl(
+        row_ptr, col, a, b, T=tile, W=W, edge_cap=edge_cap,
+        interpret=interpret,
+    )
+
+
+def _sdw_fwd(row_ptr, col, a, b, W, edge_cap, tile, interpret):
+    out = _sddmm_window_impl(
+        row_ptr, col, a, b, T=tile, W=W, edge_cap=edge_cap,
+        interpret=interpret,
+    )
+    return out, (row_ptr, col, a, b)
+
+
+def _sdw_bwd(W, edge_cap, tile, interpret, res, ct):
+    # e_k = <a[dst_k], b[src_k]>:
+    #   da[d] = Σ_{e∈row(d)} ct_e · b[src_e]  — the WEIGHTED windowed SpMM
+    #     on the same tile plan (fused, no per-edge row reads);
+    #   db[s] = Σ_{e: src_e=s} ct_e · a[dst_e] — the transposed direction
+    #     (scatter over sources) through the exact XLA segment path.
+    row_ptr, col, a, b = res
+    da = _spmm_window_impl(
+        row_ptr, col, b.astype(jnp.float32), ct.astype(jnp.float32),
+        T=tile, W=W, edge_cap=edge_cap, reduce="sum", interpret=interpret,
+    ).astype(a.dtype)
+    E = col.shape[0]
+    rp = row_ptr.astype(jnp.int32)
+    edge_dst = (
+        jnp.searchsorted(
+            rp, jnp.arange(E, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    msgs = jnp.take(a, edge_dst, axis=0, mode="clip") * ct[:, None].astype(a.dtype)
+    db = jax.ops.segment_sum(
+        msgs, col.astype(jnp.int32), num_segments=b.shape[0]
+    ).astype(b.dtype)
+    return (None, None, da, db)
+
+
+_sddmm_window_diff.defvjp(_sdw_fwd, _sdw_bwd)
+
+
 def sddmm_window(
     row_ptr: Array,
     col: Array,
@@ -711,8 +766,10 @@ def sddmm_window(
     b[col[k]]> for the CSR's dst-sorted edges (dst derived from row_ptr).
     Same plan contract as :func:`spmm_window` (plan_spmm_tiles; out-of-
     window edges yield zeros — gate on the plan's ``feasible``).
-    Forward-only; reference analog: cuGraph-Ops fused mha_gat_n2n's SDDMM
-    stage (gat_conv.py:22-102), XLA fallback ops/spmm.py sddmm."""
+    Differentiable: da rides the weighted windowed SpMM on the same plan
+    (fused), db the exact XLA transposed segment path.  Reference analog:
+    cuGraph-Ops fused mha_gat_n2n's SDDMM stage (gat_conv.py:22-102), XLA
+    fallback ops/spmm.py sddmm."""
     from ..utils.error import check_input
 
     check_input(a.shape[1] == b.shape[1], "a/b dim mismatch")
@@ -721,7 +778,6 @@ def sddmm_window(
     W = -(-(window + 32) // 128) * 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _sddmm_window_impl(
-        row_ptr, col, a, b, T=tile, W=W, edge_cap=int(edge_cap),
-        interpret=bool(interpret),
+    return _sddmm_window_diff(
+        row_ptr, col, a, b, W, int(edge_cap), tile, bool(interpret)
     )
