@@ -426,12 +426,68 @@ def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     return E / dt, dt
 
 
+def bench_gat_layer(n=1 << 20, deg=16, dim_head=64, heads=4, width=192,
+                    iters=6, fused=True, grad=False):
+    """Full-graph GAT layer throughput over a locality-ordered CSR — the
+    mha_gat_n2n analog (reference torch/cugraphops/gat_conv.py:73-101).
+    ``fused=True`` routes through edge-softmax + per-head weighted windowed
+    SpMM (attention grads via the windowed SDDMM dw); ``fused=False`` is
+    the per-edge XLA path (2 D-dim row reads per edge) for the A/B.
+    ``grad=True`` times forward+backward (value_and_grad wrt params+feats)
+    instead of forward only."""
+    import numpy as np
+
+    from wholegraph_tpu.graph import GraphStructure
+    from wholegraph_tpu.models.conv import GATConv
+
+    rs = np.random.RandomState(0)
+    counts = rs.randint(max(deg // 2, 1), deg * 2, n)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(row_ptr[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(row_ptr), col=jnp.asarray(col),
+        node_count=n, edge_count=E, max_degree=int(counts.max()),
+    )
+    fg = g.to_full_graph(windowed=fused)
+    if fused:
+        assert fg.window is not None, "clustered CSR must yield a feasible plan"
+    din = dim_head * heads
+    feats = jax.jit(lambda: jnp.ones((n, din), jnp.float32))()
+    layer = GATConv(out_dim=dim_head, num_heads=heads)
+    params = layer.init(jax.random.PRNGKey(0), feats, fg)
+
+    if grad:
+        def step(i, params, feats):
+            def loss(p, x):
+                return jnp.sum(layer.apply(p, x * (1.0 + i * 0.0), fg))
+
+            l, (dp, dx) = jax.value_and_grad(loss, argnums=(0, 1))(params, feats)
+            return dx[0, 0] + l
+    else:
+        def step(i, params, feats):
+            out = layer.apply(params, feats * (1.0 + i * 0.0), fg)
+            return out[0, 0]
+
+    dt = measure_median(step, iters, params, feats)
+    return E / dt, dt
+
+
 def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
-                     hidden=256, num_classes=16, iters=8):
+                     hidden=256, num_classes=16, iters=8,
+                     assume_unique=True, unique_chunk=None):
     """End-to-end sampled train step: 2-layer SAGE, B=1024, TRAINABLE
     embedding (multilayer sample -> unique gather -> fwd/bwd -> dense adam +
     sparse LazyAdam apply) — the reference's per-iteration training cost
     ([EPOCH_TIME]/step, examples/node_classfication.py:112-122).
+
+    ``assume_unique`` (default True — ``unique_gids`` carries the
+    append_unique uniqueness contract) skips the apply's redundant dedup
+    sort; ``unique_chunk`` opts into the chunked touched-rows-proportional
+    apply (A/B knobs for the r5 sweep).
 
     Returns (ms_per_step, sol_fraction).  SoL proxy: the step's unavoidable
     HBM row moves = U unique rows x (2 gather + 2 grad write/read + 6
@@ -493,7 +549,10 @@ def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
         loss, (dp, dr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, rows)
         updates, opt_state = dense_opt.update(dp, opt_state, params)
         params = optax.apply_updates(params, updates)
-        estate = emb.apply_gradients(estate, ids, dr, 1e-3, mask=ml.unique_mask)
+        estate = emb.apply_gradients(
+            estate, ids, dr, 1e-3, mask=ml.unique_mask,
+            assume_unique=assume_unique, unique_chunk=unique_chunk,
+        )
         return params, estate, opt_state, loss
 
     @jax.jit
@@ -567,7 +626,7 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "spmm_clustered",
-            "sddmm_clustered",
+            "sddmm_clustered", "gat_layer", "gat_layer_grad",
             "scaling", "host_gather", "host_gather_sorted", "train_step",
         ],
         help="default gather_sorted: the production embedding-gather path on "
@@ -581,6 +640,18 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--no-assume-unique", action="store_true",
+                    help="train_step only: keep the apply's local dedup "
+                    "sort even though unique_gids warrants uniqueness "
+                    "(the r4 behavior, for the A/B)")
+    ap.add_argument("--unique-chunk", type=int, default=0,
+                    help="train_step only: chunked touched-rows-"
+                    "proportional apply with this chunk size (multiple "
+                    "of 1024); 0 = single-shot")
+    ap.add_argument("--gat-xla", action="store_true",
+                    help="gat_layer metrics only: run the per-edge XLA path "
+                    "(2 D-dim row reads per edge) instead of the fused "
+                    "windowed path, for the A/B")
     ap.add_argument("--aligned-csr", action="store_true",
                     help="sampling metrics only: use the r3 aligned "
                     "arange*deg CSR (every center rides the 1-block fast "
@@ -645,6 +716,22 @@ def main():
             "vs_baseline": round(eps / sol_eps, 4),
         }))
         return
+    if args.metric in ("gat_layer", "gat_layer_grad"):
+        n = 1 << 20 if backend == "tpu" else 1 << 12
+        heads, dim_head = 4, 64
+        eps, dt = bench_gat_layer(
+            n=n, heads=heads, dim_head=dim_head, iters=args.iters,
+            fused=not args.gat_xla, grad=args.metric == "gat_layer_grad",
+        )
+        # SoL proxy: one delivered per-head message row per edge at HBM rate
+        sol_eps = detect_hbm_gbps() * 1e9 / (heads * dim_head * 4)
+        print(json.dumps({
+            "metric": f"{args.metric}_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
     if args.metric == "spmm_clustered":
         n = 1 << 20 if backend == "tpu" else 1 << 14
         eps, dt = bench_spmm_clustered(n=n, dim=args.dim, iters=args.iters)
@@ -683,6 +770,9 @@ def main():
         kw = dict(iters=args.iters)
         if backend == "cpu":
             kw = dict(n_nodes=50_000, batch=256, iters=3)
+        kw["assume_unique"] = not args.no_assume_unique
+        if args.unique_chunk:
+            kw["unique_chunk"] = args.unique_chunk
         ms, solf = bench_train_step(**kw)
         print(json.dumps({
             "metric": "train_step_time",

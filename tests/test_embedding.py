@@ -236,6 +236,113 @@ def test_apply_gradients_mask_excludes_padding(mesh8):
     assert not np.allclose(out[5], init[5])  # the real id trained
 
 
+@pytest.mark.parametrize("unique_chunk", [None, 1024])
+def test_apply_assume_unique_matches_default(mesh8, unique_chunk):
+    """assume_unique=True (skip the local dedup sort — the append_unique
+    contract) and unique_chunk (touched-rows-proportional chunked apply,
+    r5) must produce the same state as the default path for unique ids
+    with suffix padding — the sampler unique-buffer shape."""
+    n, dim, B = 700, 16, 2048
+    opt = emb_mod.LazyAdam()
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(n)
+    n_valid = 600
+    ids = np.full((B,), 0, np.int64)
+    ids[:n_valid] = perm[:n_valid]  # unique valid prefix
+    mask = np.zeros((B,), bool)
+    mask[:n_valid] = True
+    grads = rng.randn(B, dim).astype(np.float32)
+
+    init = deterministic_rows(n, dim)
+    results = []
+    for kw in (
+        dict(),
+        dict(assume_unique=True, unique_chunk=unique_chunk),
+    ):
+        emb = Embedding.create(mesh8, n, dim, optimizer=opt)
+        state = emb.from_array(init)
+        state = emb.apply_gradients(
+            state,
+            put(mesh8, ids, P("data")),
+            put(mesh8, grads, P("data", None)),
+            0.1,
+            mask=put(mesh8, mask, P("data")),
+            **kw,
+        )
+        results.append(
+            (emb.to_array(state),) + tuple(
+                emb.slot_to_array(state, k) for k in opt.slot_names
+            )
+        )
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_apply_unique_chunk_interior_padding_exact():
+    """unique_chunk's loop bound is the LAST valid position, not a prefix
+    assumption: interior all-padding chunks and a valid id in the final
+    chunk must both be handled exactly (world=1 path)."""
+    import wholegraph_tpu.parallel as par
+
+    n, dim = 300, 8
+    mesh1 = par.create_global_mesh(jax.devices()[:1])
+    opt = emb_mod.LazyAdam()
+    B = 4096
+    ids = np.zeros((B,), np.int64)
+    mask = np.zeros((B,), bool)
+    # valid ids scattered: chunk 0 has some, chunk 1 empty, chunk 2 has one,
+    # chunk 3 (last) empty -> loop must run 3 chunks and stop
+    ids[5], mask[5] = 7, True
+    ids[900], mask[900] = 11, True
+    ids[2500], mask[2500] = 13, True
+    grads = np.ones((B, dim), np.float32)
+    init = deterministic_rows(n, dim)
+
+    results = []
+    for kw in (dict(), dict(assume_unique=True, unique_chunk=1024)):
+        emb = Embedding.create(mesh1, n, dim, optimizer=opt)
+        state = emb.from_array(init)
+        state = emb.apply_gradients(
+            state, jnp.asarray(ids), jnp.asarray(grads), 0.1,
+            mask=jnp.asarray(mask), **kw,
+        )
+        results.append(emb.to_array(state))
+    np.testing.assert_array_equal(results[0], results[1])
+    # the three touched rows actually trained
+    for r in (7, 11, 13):
+        assert not np.allclose(results[1][r], init[r])
+
+
+def test_apply_assume_unique_cross_device_dups(mesh8):
+    """assume_unique only warrants per-device uniqueness; the SAME id on
+    different devices must still be merged exactly by the receiver-side
+    re-dedup of the exchange."""
+    n, dim = 256, 8
+    opt = emb_mod.SGD()
+    B = 64  # 8 per device
+    ids = np.full((B,), 42, np.int64)  # id 42 on EVERY device, once each
+    mask = np.zeros((B,), bool)
+    mask[::8] = True  # exactly one valid slot per device shard
+    grads = np.ones((B, dim), np.float32)
+    init = deterministic_rows(n, dim)
+
+    results = []
+    for kw in (dict(), dict(assume_unique=True)):
+        emb = Embedding.create(mesh8, n, dim, optimizer=opt)
+        state = emb.from_array(init)
+        state = emb.apply_gradients(
+            state, put(mesh8, ids, P("data")),
+            put(mesh8, grads, P("data", None)), 0.1,
+            mask=put(mesh8, mask, P("data")), **kw,
+        )
+        results.append(emb.to_array(state))
+    np.testing.assert_array_equal(results[0], results[1])
+    # 8 unit-grad contributions merged: row 42 moved by -0.1 * 8
+    np.testing.assert_allclose(
+        results[1][42], init[42] - 0.8, rtol=1e-5, atol=1e-5
+    )
+
+
 def test_make_train_step(mesh8):
     n, dim, B = 64, 8, 64
     emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.LazyAdam())

@@ -104,16 +104,67 @@ def _dedup_sorted(ids: Array, grads: Array, oob) -> tuple:
 
 
 def _optimizer_step(
-    shard, slot_shards, uids, seg_grads, step, lr, *, plan, opt, slot_names
+    shard, slot_shards, uids, seg_grads, step, lr, *, plan, opt, slot_names,
+    unique_chunk=None,
 ):
     """Sparse optimizer step on the touched local rows (ids are logical ids
     owned by this shard; entries >= plan.n are padding).
+
+    ``unique_chunk``: when set (a multiple of the ring id_block 1024),
+    process the id buffer in chunks of that size under a lax.while_loop
+    that stops after the LAST chunk containing a valid id — apply cost
+    becomes proportional to the REAL touched rows, not the worst-case
+    buffer (the reference steps only deduped touched rows,
+    embedding.cpp:261-269; sampler unique buffers carry their valid ids as
+    a prefix, so trailing padding chunks are skipped entirely).  Exact for
+    ANY id layout: the loop bound is the last valid position, not a prefix
+    assumption.
 
     The optimizer row movement (read + write of table + every slot) is the
     apply step's dominant cost; on TPU with NATIVE-layout state the rows
     move through the pallas DMA ring (~126 GB/s) instead of XLA
     take/.at[].set (~42 GB/s measured, scripts/exp_apply.py).  Optimizer
     math is elementwise, so it runs directly on the native row shape."""
+    R = uids.shape[0]
+    if unique_chunk is not None and R > unique_chunk:
+        C = unique_chunk
+        oob = jnp.asarray(plan.n, uids.dtype)
+        pad = -R % C
+        uids_p = (
+            jnp.concatenate([uids, jnp.full((pad,), oob, uids.dtype)])
+            if pad else uids
+        )
+        grads_p = (
+            jnp.concatenate(
+                [seg_grads, jnp.zeros((pad, seg_grads.shape[1]),
+                                      seg_grads.dtype)]
+            )
+            if pad else seg_grads
+        )
+        nmax = uids_p.shape[0] // C
+        valid = uids_p < oob
+        iot = jnp.arange(uids_p.shape[0], dtype=jnp.int32)
+        last_valid = jnp.max(jnp.where(valid, iot, -1))
+        n_chunks = jnp.maximum((last_valid + C) // C, 0)  # 0 if none valid
+
+        def body(state):
+            k, shard, slot_shards = state
+            uc = lax.dynamic_slice(uids_p, (k * C,), (C,))
+            gc = lax.dynamic_slice(
+                grads_p, (k * C, 0), (C, grads_p.shape[1])
+            )
+            shard, slot_shards = _optimizer_step(
+                shard, slot_shards, uc, gc, step, lr,
+                plan=plan, opt=opt, slot_names=slot_names,
+            )
+            return k + 1, shard, slot_shards
+
+        _, shard, slot_shards = lax.while_loop(
+            lambda s: s[0] < n_chunks, body,
+            (jnp.int32(0), shard, tuple(slot_shards)),
+        )
+        return shard, tuple(slot_shards)
+
     oob = jnp.asarray(plan.n, uids.dtype)
     valid = uids < oob
     slots_local = plan.local_slot(jnp.where(valid, uids, 0))
@@ -291,6 +342,8 @@ def _apply_grad_shard(
     cap: int,
     opt: SparseOptimizer,
     slot_names: tuple,
+    assume_unique: bool = False,
+    unique_chunk: Optional[int] = None,
 ):
     """Per-device gradient apply (embedding.cpp:146-300 analog).
 
@@ -304,20 +357,33 @@ def _apply_grad_shard(
     provable worst case — also what the reference's dynamic recv allocation
     pays under the same skew), rounds only add exchange volume, never
     precision loss or drops.
-    """
+
+    ``assume_unique``: the caller warrants the (masked) ids are already
+    unique per device — e.g. ``append_unique`` sampler output, whose
+    contract guarantees it — so the local dedup (an argsort + a full
+    [R, D] row permutation + segment-sum, ~3 extra HBM passes over the
+    batch) is skipped.  Receivers still re-dedup in the multi-device
+    exchange, so cross-device duplicates stay exact."""
     world = plan.world
     idt = _index_dtype(plan)
     ids = ids.astype(idt)
     oob = jnp.asarray(plan.n, idt)
     ids = jnp.where(mask & (ids >= 0) & (ids < oob), ids, oob)
 
-    # --- local pre-dedup: one contribution per unique id per device ---
-    uids_l, ugrads_l = _dedup_sorted(ids, grads, oob)
+    if assume_unique:
+        uids_l = ids
+        ugrads_l = jnp.where(
+            (ids < oob)[:, None], grads.astype(jnp.float32), 0.0
+        )
+    else:
+        # --- local pre-dedup: one contribution per unique id per device ---
+        uids_l, ugrads_l = _dedup_sorted(ids, grads, oob)
 
     if world == 1:
         return _optimizer_step(
             shard, slot_shards, uids_l, ugrads_l, step, lr,
             plan=plan, opt=opt, slot_names=slot_names,
+            unique_chunk=unique_chunk,
         )
 
     pend_ids, pend_grads = exchange_grads_exact(
@@ -326,11 +392,14 @@ def _apply_grad_shard(
     return _optimizer_step(
         shard, slot_shards, pend_ids, pend_grads, step, lr,
         plan=plan, opt=opt, slot_names=slot_names,
+        unique_chunk=unique_chunk,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
+def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple,
+                    assume_unique: bool = False,
+                    unique_chunk: Optional[int] = None):
     """Jitted shard_map gradient-apply, cached per static config (eager
     callers pay compile once instead of per-op mesh dispatch)."""
     body = functools.partial(
@@ -340,6 +409,8 @@ def _build_apply_fn(emb: "Embedding", cap: int, slot_names: tuple):
         cap=cap,
         opt=emb.optimizer,
         slot_names=slot_names,
+        assume_unique=assume_unique,
+        unique_chunk=unique_chunk,
     )
     # donate table + slots: the sparse update must not double-buffer the
     # whole sharded table (in-place semantics, SURVEY §7 hard part)
@@ -536,6 +607,8 @@ class Embedding:
         *,
         mask: Optional[Array] = None,
         capacity_factor: float = 2.0,
+        assume_unique: bool = False,
+        unique_chunk: Optional[int] = None,
     ) -> EmbeddingState:
         """Sparse update from (ids, row-gradients)
         (wholememory_embedding_gather_gradient_apply analog, embedding.cpp:1083).
@@ -546,6 +619,16 @@ class Embedding:
         :func:`wholegraph_tpu.ops.gather.gather`'s 'a2a' method).  ``mask``
         marks valid slots: masked-out ids (e.g. sampling padding) are
         excluded entirely, so padding never touches row 0's optimizer state.
+
+        ``assume_unique=True``: the caller warrants the masked ids are
+        already unique per device (``append_unique``'s contract — true for
+        every ``MultilayerSample.unique_gids``), skipping the local dedup
+        sort + [R, D] grad permutation (~3 HBM passes over the batch).
+        ``unique_chunk`` (multiple of 1024): process the id buffer in
+        chunks under a while_loop that stops after the last valid id —
+        cost proportional to REAL touched rows (the reference steps only
+        deduped touched rows, embedding.cpp:261-269), exact regardless of
+        how ids are laid out.
 
         The input state's table and slot buffers are DONATED (updated in
         place; no double-buffering of the sharded table) — do not reuse the
@@ -558,6 +641,12 @@ class Embedding:
         slot_vals = tuple(state.slots[n] for n in slot_names)
         if mask is None:
             mask = jnp.ones(ids.shape, bool)
+        if unique_chunk is not None:
+            check_input(
+                unique_chunk >= 1024 and unique_chunk % 1024 == 0,
+                "unique_chunk must be a positive multiple of 1024 (ring "
+                "id_block)",
+            )
 
         if world == 1:
             cap = 0
@@ -566,13 +655,15 @@ class Embedding:
             check_input(B_global % world == 0, "global batch must divide mesh axis")
             cap = _bucket_cap(B_global // world, world, capacity_factor)
 
-        fn = _build_apply_fn(self, cap, slot_names)
+        fn = _build_apply_fn(self, cap, slot_names, bool(assume_unique),
+                             unique_chunk)
         table, new_slots = fn(state.table, slot_vals, ids, grads, mask, step, lr)
         return EmbeddingState(table, dict(zip(slot_names, new_slots)), step)
 
     # -- training convenience -------------------------------------------------
 
-    def make_train_step(self, loss_fn, lr, *, gather_kwargs=None, donate=True):
+    def make_train_step(self, loss_fn, lr, *, gather_kwargs=None,
+                        apply_kwargs=None, donate=True):
         """Build a jitted step implementing the reference's training pattern
         (EmbeddingLookupFn forward + deferred sparse apply,
         torch/embedding.py:214-238 + 318):
@@ -582,15 +673,20 @@ class Embedding:
         returns ``step(state, ids, *batch, mask=None) -> (state, loss)`` where
         the rows for ``ids`` are gathered, differentiated, and the
         row-gradients applied sparsely; ``mask`` (e.g. a sampler's
-        ``unique_mask``) excludes padding slots from the sparse update."""
+        ``unique_mask``) excludes padding slots from the sparse update.
+        ``apply_kwargs`` forwards to :meth:`apply_gradients` (e.g.
+        ``assume_unique=True`` for sampler unique buffers)."""
         gkw = gather_kwargs or {}
+        akw = apply_kwargs or {}
 
         def step(state, ids, *batch, mask=None):
             rows = self.gather(state, ids, **gkw)
             if mask is not None:
                 rows = rows * mask[:, None]
             loss, drows = jax.value_and_grad(loss_fn)(rows, *batch)
-            new_state = self.apply_gradients(state, ids, drows, lr, mask=mask)
+            new_state = self.apply_gradients(
+                state, ids, drows, lr, mask=mask, **akw
+            )
             return new_state, loss
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
