@@ -116,16 +116,21 @@ def bench_gather(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     return batch * dim * 4 / dt / 1e9, dt
 
 
-def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
+def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8,
+                        dtype=jnp.float32):
     """Sorted-id gather bandwidth (the reference's sorted/unique-indices fast
     path, gather_op.cpp:118-120): deduped sorted ids at ~batch/n_rows density
     through local_take_sorted (windowed multi-row DMA + MXU one-hot select,
-    with exact repair of out-of-window ids)."""
+    with exact repair of out-of-window ids).  ``dtype=bf16`` measures the
+    half-byte table path (reference half/bf16 dtype coverage,
+    tensor_description.h:29-40); returns DELIVERED bytes/s — the caller
+    scales to f32-equivalent serving capacity."""
     import numpy as np
 
     from wholegraph_tpu.ops import local_take_sorted
 
-    n_rows = min(n_rows, (6 << 30) // (dim * 4))  # fit HBM at wide dims
+    isz = jnp.dtype(dtype).itemsize
+    n_rows = min(n_rows, (6 << 30) // (dim * isz))  # fit HBM at wide dims
     rng = np.random.RandomState(0)
     span = min(n_rows, int(batch * 1.25))
     # mirror production layout per the dispatch heuristic: when sorted ids
@@ -137,10 +142,10 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
     use_native = (
         jax.default_backend() == "tpu"
         and dim % 128 == 0
-        and choose_gather_kernel(batch / span, jnp.float32, dim) == "ring"
+        and choose_gather_kernel(batch / span, dtype, dim) == "ring"
     )
     shape = (n_rows, dim // 128, 128) if use_native else (n_rows, dim)
-    table = jax.jit(lambda: jnp.ones(shape, jnp.float32))()
+    table = jax.jit(lambda: jnp.ones(shape, dtype))()
     base = rng.randint(0, n_rows - span, size=iters + 2)
 
     ids_list = [
@@ -165,7 +170,7 @@ def bench_gather_sorted(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
         return out[:, 0].sum()
 
     dt = measure_median(step, iters, table)
-    return batch * dim * 4 / dt / 1e9, dt
+    return batch * dim * isz / dt / 1e9, dt
 
 
 def bench_scatter(n_rows=4_000_000, dim=256, batch=1 << 19, iters=8):
@@ -478,7 +483,8 @@ def bench_gat_layer(n=1 << 20, deg=16, dim_head=64, heads=4, width=192,
 
 def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
                      hidden=256, num_classes=16, iters=8,
-                     assume_unique=True, unique_chunk=None):
+                     assume_unique=True, unique_chunk=None,
+                     dtype=jnp.float32):
     """End-to-end sampled train step: 2-layer SAGE, B=1024, TRAINABLE
     embedding (multilayer sample -> unique gather -> fwd/bwd -> dense adam +
     sparse LazyAdam apply) — the reference's per-iteration training cost
@@ -514,7 +520,8 @@ def bench_train_step(n_nodes=2_000_000, deg=16, dim=256, batch=1024,
         node_count=n_nodes, edge_count=E, max_degree=int(degs.max()),
     )
     mesh = wg.parallel.launch.init()
-    emb = Embedding.create(mesh, n_nodes, dim, optimizer=create_optimizer("lazy_adam"))
+    emb = Embedding.create(mesh, n_nodes, dim, dtype=dtype,
+                           optimizer=create_optimizer("lazy_adam"))
     estate = emb.init(jax.random.PRNGKey(0))
     labels_tab = jax.jit(lambda: jax.random.randint(
         jax.random.PRNGKey(2), (n_nodes,), 0, num_classes, dtype=jnp.int32))()
@@ -640,6 +647,10 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="gather_sorted/train_step: table dtype (bf16 = the "
+                    "half-byte table path; gather_sorted then reports "
+                    "f32-equivalent serving capacity)")
     ap.add_argument("--no-assume-unique", action="store_true",
                     help="train_step only: keep the apply's local dedup "
                     "sort even though unique_gids warrants uniqueness "
@@ -773,6 +784,8 @@ def main():
         kw["assume_unique"] = not args.no_assume_unique
         if args.unique_chunk:
             kw["unique_chunk"] = args.unique_chunk
+        if args.dtype == "bf16":
+            kw["dtype"] = jnp.bfloat16
         ms, solf = bench_train_step(**kw)
         print(json.dumps({
             "metric": "train_step_time",
@@ -815,7 +828,21 @@ def main():
         }))
         return
 
-    gbps, dt = bench_gather_sorted(args.rows, args.dim, args.batch, args.iters)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    gbps, dt = bench_gather_sorted(args.rows, args.dim, args.batch, args.iters,
+                                   dtype=dtype)
+    if args.dtype == "bf16":
+        # f32-EQUIVALENT serving capacity (rows/s x dim x 4 B): the same
+        # logical embedding workload served from a half-byte table; actual
+        # delivered bf16 bytes are gbps (= half this).  Same denominator as
+        # the f32 headline, so the two are directly comparable.
+        print(json.dumps({
+            "metric": "embedding_gather_sorted_bf16_effective_bandwidth",
+            "value": round(gbps * 2, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps * 2 / sol_gbps, 4),
+        }))
+        return
     print(json.dumps({
         "metric": "embedding_gather_sorted_bandwidth",
         "value": round(gbps, 2),

@@ -343,6 +343,69 @@ def test_apply_assume_unique_cross_device_dups(mesh8):
     )
 
 
+def test_bf16_table_end_to_end(mesh8):
+    """bf16 embedding tables (reference half/bf16 dtype coverage,
+    tensor_description.h:29-40) — gather serves bf16 rows bit-equal to the
+    cast table; apply reads bf16 rows, steps in f32, and writes back the
+    bf16 cast of the f32 result (slots stay f32)."""
+    import ml_dtypes
+
+    n, dim, B = 256, 16, 256
+    opt = emb_mod.SGD()
+    emb = Embedding.create(mesh8, n, dim, dtype=jnp.bfloat16, optimizer=opt)
+    init = deterministic_rows(n, dim)
+    state = emb.from_array(init)
+    init_bf = init.astype(ml_dtypes.bfloat16)
+
+    ids = np.arange(B, dtype=np.int64) % n
+    rows = emb.gather(state, put(mesh8, ids, P("data")))
+    assert rows.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(rows).view(np.uint16), init_bf[ids % n].view(np.uint16)
+    )
+
+    grads = np.ones((B, dim), np.float32) * 0.5
+    state = emb.apply_gradients(
+        state, put(mesh8, ids, P("data")), put(mesh8, grads, P("data", None)),
+        0.1,
+    )
+    out = emb.to_array(state)
+    # host replay: read bf16 -> f32 math -> cast back to bf16
+    ref = (
+        init_bf[:B].astype(np.float32) - 0.1 * grads[:B]
+    ).astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        out[:B].view(np.uint16), ref.view(np.uint16)
+    )
+    # untouched rows unchanged
+    np.testing.assert_array_equal(
+        out[B:].view(np.uint16) if B < n else out[:0],
+        init_bf[B:].view(np.uint16) if B < n else out[:0],
+    )
+
+
+def test_bf16_train_step_loss_decreases(mesh8):
+    n, dim, B = 128, 16, 128
+    emb = Embedding.create(mesh8, n, dim, dtype=jnp.bfloat16,
+                           optimizer=emb_mod.LazyAdam())
+    state = emb.init(jax.random.PRNGKey(0))
+    target = deterministic_rows(n, dim)
+    tgt_dev = put(mesh8, target, P("data", None))
+    ids_dev = put(mesh8, np.arange(B, dtype=np.int64), P("data"))
+    step = emb.make_train_step(
+        lambda rows, tgt: jnp.mean(
+            (rows.astype(jnp.float32) - tgt[: rows.shape[0]]) ** 2
+        ),
+        lr=0.05,
+        apply_kwargs=dict(assume_unique=True),
+    )
+    losses = []
+    for _ in range(20):
+        state, loss = step(state, ids_dev, tgt_dev)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::5]
+
+
 def test_make_train_step(mesh8):
     n, dim, B = 64, 8, 64
     emb = Embedding.create(mesh8, n, dim, optimizer=emb_mod.LazyAdam())

@@ -833,3 +833,129 @@ def test_sddmm_window_matches_xla_tpu():
                                   jnp.asarray(a), jnp.asarray(b),
                                   window=window, edge_cap=edge_cap))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_native_apply_ring_bitequal_tpu():
+    """bf16 tables through the pallas rings on hardware (r5): native-layout
+    bf16 gather3/scatter3 apply must be bit-equal to the flat XLA twin
+    (bf16 HBM tiling is (16, 128) — the [N, D//128, 128] bf16 view rides
+    partial tiles, so silicon coverage is mandatory)."""
+    from wholegraph_tpu.embedding import Embedding, LazyAdam
+    from wholegraph_tpu.parallel import create_global_mesh
+
+    mesh = create_global_mesh()
+    n, dim, B = 20_000, 256, 4096
+    rng = np.random.RandomState(23)
+    init = rng.randn(n, dim).astype(np.float32)
+    embs, states = {}, {}
+    for native in (False, True):
+        e = Embedding.create(mesh, n, dim, dtype=jnp.bfloat16,
+                             optimizer=LazyAdam(), native_layout=native)
+        embs[native], states[native] = e, e.from_array(init)
+    assert states[True].table.ndim == 3
+
+    for step in range(2):
+        ids = rng.randint(0, n, B).astype(np.int32)
+        mask = rng.rand(B) > 0.05
+        grads = rng.randn(B, dim).astype(np.float32)
+        outs = {}
+        for native in (False, True):
+            e, st = embs[native], states[native]
+            outs[native] = np.asarray(e.gather(st, jnp.asarray(ids)))
+            states[native] = e.apply_gradients(
+                st, jnp.asarray(ids), jnp.asarray(grads), 0.05,
+                mask=jnp.asarray(mask),
+            )
+        np.testing.assert_array_equal(
+            outs[False].view(np.uint16), outs[True].view(np.uint16)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(embs[False].to_array(states[False])).view(np.uint16),
+        np.asarray(embs[True].to_array(states[True])).view(np.uint16),
+    )
+    for k in ("m", "v"):
+        np.testing.assert_array_equal(
+            embs[False].slot_to_array(states[False], k),
+            embs[True].slot_to_array(states[True], k),
+        )
+
+
+def test_apply_assume_unique_chunk_bitequal_tpu():
+    """assume_unique + unique_chunk (r5 touched-rows-proportional apply)
+    through the hardware ring path: state bit-equal to the default
+    dedup-sort single-shot apply on a sampler-shaped unique prefix."""
+    from wholegraph_tpu.embedding import Embedding, create_optimizer
+    from wholegraph_tpu.parallel import create_global_mesh
+
+    mesh = create_global_mesh()
+    n, dim, B = 40_000, 256, 8192
+    rs = np.random.RandomState(29)
+    table_np = rs.randn(n, dim).astype(np.float32)
+    n_valid = 3000  # valid unique prefix, padded suffix
+    perm = rs.permutation(n)[:n_valid].astype(np.int32)
+    ids_np = np.zeros(B, np.int32)
+    ids_np[:n_valid] = perm
+    mask_np = np.zeros(B, bool)
+    mask_np[:n_valid] = True
+    grads = jnp.asarray(rs.randn(B, dim).astype(np.float32))
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    emb = Embedding.create(mesh, n, dim, optimizer=create_optimizer("lazy_adam"))
+    ref = emb.apply_gradients(emb.from_array(table_np), ids, grads, 1e-2,
+                              mask=mask)
+    fast = emb.apply_gradients(emb.from_array(table_np), ids, grads, 1e-2,
+                               mask=mask, assume_unique=True,
+                               unique_chunk=1024)
+    np.testing.assert_array_equal(
+        np.asarray(emb.table_2d(ref)), np.asarray(emb.table_2d(fast))
+    )
+    for s in ref.slots:
+        np.testing.assert_array_equal(
+            np.asarray(ref.slots[s]).reshape(-1, dim),
+            np.asarray(fast.slots[s]).reshape(-1, dim),
+        )
+
+
+def test_gat_windowed_matches_xla_tpu():
+    """Fused GAT full-graph path on silicon (r5): forward + grads vs the
+    per-edge XLA path — covers the weighted spmm_window fwd, the dw
+    windowed-SDDMM VJP, and the analytic self-loop softmax."""
+    from wholegraph_tpu.graph import GraphStructure
+    from wholegraph_tpu.models.conv import GATConv
+
+    rs = np.random.RandomState(31)
+    n = 20_000
+    counts = rs.randint(0, 10, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts) + rs.randint(-80, 81, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(rp), col=jnp.asarray(col), node_count=n,
+        edge_count=E, max_degree=int(counts.max()),
+    )
+    fg_plain = g.to_full_graph()
+    fg_win = g.to_full_graph(windowed=True)
+    assert fg_win.row_ptr is not None
+    feats = jnp.asarray(rs.randn(n, 64).astype(np.float32))
+    layer = GATConv(out_dim=64, num_heads=4)
+    params = layer.init(jax.random.PRNGKey(2), feats, fg_plain)
+
+    out_p = np.asarray(layer.apply(params, feats, fg_plain))
+    out_w = np.asarray(layer.apply(params, feats, fg_win))
+    np.testing.assert_allclose(out_w, out_p, rtol=1e-3, atol=1e-3)
+
+    def loss(p, x, fg):
+        return jnp.sum(jnp.tanh(layer.apply(p, x, fg))) / E
+
+    gp_p, gx_p = jax.grad(loss, argnums=(0, 1))(params, feats, fg_plain)
+    gp_w, gx_w = jax.grad(loss, argnums=(0, 1))(params, feats, fg_win)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
+        gp_p, gp_w,
+    )
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_p),
+                               rtol=2e-3, atol=2e-3)
+    assert float(jnp.abs(gp_w["params"]["attn_src"]).max()) > 0
