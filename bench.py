@@ -431,6 +431,72 @@ def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     return E / dt, dt
 
 
+def bench_spmm_sampled(n=2_000_000, deg=16, width=192, dim=256, batch=1024,
+                       fanouts=(10, 15), iters=6, windowed=True):
+    """Sampled-block aggregation throughput on the TRAINING hot-path shape
+    (VERDICT r4 #4: B=1024 fanouts 10/15 D=256): a real multilayer sample
+    over a locality-ordered CSR, aggregating the deepest hop block over the
+    gathered [U, D] unique rows.  ``windowed=True`` routes through
+    padded_reduce_windowed (per-run windowed SpMM passes + exact edge
+    residual); ``windowed=False`` is the descriptor-bound padded path."""
+    import numpy as np
+
+    from wholegraph_tpu.graph import GraphStructure
+    from wholegraph_tpu.ops.spmm import padded_reduce, padded_reduce_windowed
+
+    rs = np.random.RandomState(0)
+    counts = rs.randint(max(deg // 2, 1), deg * 2, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts)
+        + rs.randint(-width // 2, width // 2 + 1, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(rp), col=jnp.asarray(col), node_count=n,
+        edge_count=E, max_degree=int(counts.max()),
+    )
+    centers = jnp.asarray(
+        np.sort(rs.choice(n, batch, replace=False)).astype(np.int32)
+    )
+    ml = jax.jit(
+        lambda c: g.multilayer_sample(c, list(fanouts), seed=1)
+    )(centers)
+    L = len(fanouts) - 1
+    hop = ml.hops[L]
+    U = int(ml.unique_gids.shape[0])
+    Eb = int(jnp.sum(hop.mask))  # real edges in the measured block
+    x = jax.jit(lambda: jnp.ones((U, dim), jnp.float32))()
+    rb = ml.run_bounds(L)
+    # per-run windows: targets/new-run spans measured r5 ~26/256/2900 p90 at
+    # this shape; round generously (residual repairs the tail exactly)
+    wins = tuple(min(-(-min(b2 - b1, 4096) // 128) * 128, 4096)
+                 for b1, b2 in zip(rb, rb[1:]))
+    nbr, msk = hop.nbr_idx, hop.mask
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def consume(out):
+        # CPU smoke: jnp.take has no side effects — a scalar probe lets XLA
+        # slice the whole batch away; consume a batch-spanning column
+        return out[0, 0] if on_tpu else out[:, 0].sum()
+
+    if windowed:
+        def step(i, x, nbr, msk):
+            out = padded_reduce_windowed(
+                x * (1.0 + i * 0.0), nbr, msk, "mean",
+                run_bounds=rb, windows=wins,
+            )
+            return consume(out)
+    else:
+        def step(i, x, nbr, msk):
+            out = padded_reduce(x * (1.0 + i * 0.0), nbr, msk, "mean")
+            return consume(out)
+
+    dt = measure_median(step, iters, x, nbr, msk)
+    return Eb / dt, dt
+
+
 def bench_gat_layer(n=1 << 20, deg=16, dim_head=64, heads=4, width=192,
                     iters=6, fused=True, grad=False):
     """Full-graph GAT layer throughput over a locality-ordered CSR — the
@@ -633,7 +699,7 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "spmm_clustered",
-            "sddmm_clustered", "gat_layer", "gat_layer_grad",
+            "spmm_sampled", "sddmm_clustered", "gat_layer", "gat_layer_grad",
             "scaling", "host_gather", "host_gather_sorted", "train_step",
         ],
         help="default gather_sorted: the production embedding-gather path on "
@@ -659,6 +725,10 @@ def main():
                     help="train_step only: chunked touched-rows-"
                     "proportional apply with this chunk size (multiple "
                     "of 1024); 0 = single-shot")
+    ap.add_argument("--sampled-padded", action="store_true",
+                    help="spmm_sampled only: run the descriptor-bound "
+                    "padded gather+reduce instead of the windowed block "
+                    "aggregation, for the A/B")
     ap.add_argument("--gat-xla", action="store_true",
                     help="gat_layer metrics only: run the per-edge XLA path "
                     "(2 D-dim row reads per edge) instead of the fused "
@@ -722,6 +792,19 @@ def main():
         sol_eps = detect_hbm_gbps() * 1e9 / (2 * args.dim * 4)
         print(json.dumps({
             "metric": "sddmm_clustered_throughput",
+            "value": round(eps / 1e6, 3),
+            "unit": "Medges/s",
+            "vs_baseline": round(eps / sol_eps, 4),
+        }))
+        return
+    if args.metric == "spmm_sampled":
+        kw = dict(iters=args.iters, windowed=not args.sampled_padded)
+        if backend == "cpu":
+            kw.update(n=20_000, batch=128, fanouts=(4, 3))
+        eps, dt = bench_spmm_sampled(dim=args.dim, **kw)
+        sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
+        print(json.dumps({
+            "metric": "spmm_sampled_throughput",
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),

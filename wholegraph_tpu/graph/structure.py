@@ -101,6 +101,16 @@ class MultilayerSample:
         hops, gids, mask, lg, lm = ch
         return cls(list(hops), gids, mask, list(lg), list(lm))
 
+    def run_bounds(self, level: int) -> tuple:
+        """Static unique-list run boundaries for the hop-``level`` block
+        (whose x rows are ``level_gids[level+1]``): each level's unique
+        list is [previous level's list | NEW ids sorted ascending]
+        (append_unique), so the boundaries are simply the level buffer
+        sizes — input to :func:`ops.spmm.padded_reduce_windowed`."""
+        return (0,) + tuple(
+            int(g.shape[0]) for g in self.level_gids[: level + 2]
+        )
+
 
 @dataclasses.dataclass
 class GraphStructure:

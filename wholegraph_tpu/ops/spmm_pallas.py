@@ -429,10 +429,10 @@ def _spmm_window_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
 def _spmm_window_diff(row_ptr, col, x, edge_weight, W, edge_cap, tile,
-                      reduce, interpret):
+                      reduce, interpret, weight_grad):
     return _spmm_window_impl(
         row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
         reduce=reduce, interpret=interpret,
@@ -440,23 +440,24 @@ def _spmm_window_diff(row_ptr, col, x, edge_weight, W, edge_cap, tile,
 
 
 def _sw_fwd(row_ptr, col, x, edge_weight, W, edge_cap, tile, reduce,
-            interpret):
+            interpret, weight_grad):
     out = _spmm_window_impl(
         row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
         reduce=reduce, interpret=interpret,
     )
-    # x is saved only when weighted (dw needs it); unweighted saves the shape
-    return out, (row_ptr, col,
-                 x if edge_weight is not None else x.shape, edge_weight)
+    # x is saved only when dw is wanted (it needs x); else just the shape
+    save_x = edge_weight is not None and weight_grad
+    return out, (row_ptr, col, x if save_x else x.shape, edge_weight)
 
 
-def _sw_bwd(W, edge_cap, tile, reduce, interpret, res, ct):
+def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, res, ct):
     # dx[s] = Σ_{(s,d)∈E} w_e · (ct[d] / deg_d if mean else ct[d]) — the
     # TRANSPOSED SpMM, computed exactly through the XLA segment path (the
     # backward is a scatter over sources, outside the windowed kernel's
     # dst-tile structure).
     row_ptr, col, x_or_shape, edge_weight = res
-    x_shape = x_or_shape.shape if edge_weight is not None else x_or_shape
+    save_x = edge_weight is not None and weight_grad
+    x_shape = x_or_shape.shape if save_x else x_or_shape
     n = row_ptr.shape[0] - 1
     E = col.shape[0]
     rp = row_ptr.astype(jnp.int32)
@@ -476,16 +477,24 @@ def _sw_bwd(W, edge_cap, tile, reduce, interpret, res, ct):
     dx = jax.ops.segment_sum(msgs, col.astype(jnp.int32), num_segments=x_shape[0])
     dw = None
     if edge_weight is not None:
-        # d loss / d w_e = <ct[dst_e], x[src_e]> — exactly the windowed
-        # SDDMM with a=ct, b=x (same tile plan: the fwd's in-plan edges are
-        # the bwd's).  This closes the r4 silent-zero-weight-grad landmine:
-        # learnable edge weights (GAT attention) now train through the
-        # windowed path.  reduce == 'mean' never reaches here (weighted
-        # mean is rejected at the API).
-        dw = _sddmm_window_impl(
-            row_ptr, col, ct.astype(jnp.float32), x_or_shape.astype(jnp.float32),
-            T=tile, W=W, edge_cap=edge_cap, interpret=interpret,
-        ).astype(edge_weight.dtype)
+        if weight_grad:
+            # d loss / d w_e = <ct[dst_e], x[src_e]> — exactly the windowed
+            # SDDMM with a=ct, b=x (same tile plan: the fwd's in-plan edges
+            # are the bwd's).  This closes the r4 silent-zero-weight-grad
+            # landmine: learnable edge weights (GAT attention) now train
+            # through the windowed path.  reduce == 'mean' never reaches
+            # here (weighted mean is rejected at the API).
+            dw = _sddmm_window_impl(
+                row_ptr, col, ct.astype(jnp.float32),
+                x_or_shape.astype(jnp.float32),
+                T=tile, W=W, edge_cap=edge_cap, interpret=interpret,
+            ).astype(edge_weight.dtype)
+        else:
+            # caller declared the weights constant (weight_grad=False, e.g.
+            # mask-derived 0/1 weights): skip the SDDMM, return symbolic
+            # zeros — differentiating the weights in this mode is a caller
+            # bug, not a silent-zero surface
+            dw = jnp.zeros_like(edge_weight)
     return (None, None, dx.astype(ct.dtype), dw)
 
 
@@ -503,6 +512,7 @@ def spmm_window(
     reduce: str = "sum",
     edge_weight: Array | None = None,
     interpret: bool | None = None,
+    weight_grad: bool = True,
 ) -> Array:
     """Fused pallas windowed SpMM over a locality-ordered CSR (see block
     comment above).  Size ``window``/``edge_cap`` with
@@ -512,7 +522,9 @@ def spmm_window(
     Differentiable w.r.t. ``x`` (backward = exact transposed SpMM through
     the XLA segment path) AND ``edge_weight`` (backward = the windowed
     SDDMM ``<ct[dst], x[src]>`` on the same tile plan — learnable edge
-    weights such as GAT attention train through this path).  Weighted
+    weights such as GAT attention train through this path; callers whose
+    weights are constants, e.g. mask-derived 0/1, pass
+    ``weight_grad=False`` to skip the SDDMM in the backward).  Weighted
     ``mean`` is rejected: the kernel would normalise by the weight sum, not
     the edge count, silently diverging from :func:`ops.spmm.spmm`."""
     from ..utils.error import check_input
@@ -531,7 +543,7 @@ def spmm_window(
         interpret = jax.default_backend() != "tpu"
     return _spmm_window_diff(
         row_ptr, col, x, edge_weight, W, int(edge_cap), tile, reduce,
-        bool(interpret),
+        bool(interpret), bool(weight_grad),
     )
 
 
