@@ -760,6 +760,49 @@ def test_padded_reduce_windowed_matches_plain(reduce):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("model_type", ["sage", "gcn"])
+def test_sampled_windowed_agg_matches_plain(model_type):
+    """MultilayerSample.with_windowed_agg routes the conv layers' sampled
+    reduces through padded_reduce_windowed; forward + grads must match the
+    padded path on a clustered graph."""
+    import numpy as np
+
+    n, D, C = 1500, 128, 4
+    rs = np.random.RandomState(23)
+    counts = rs.randint(2, 8, n)
+    rp = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    E = int(rp[-1])
+    col = (
+        np.repeat(np.arange(n), counts) + rs.randint(-40, 41, E)
+    ).clip(0, n - 1).astype(np.int32)
+    g = GraphStructure(
+        row_ptr=jnp.asarray(rp), col=jnp.asarray(col), node_count=n,
+        edge_count=E, max_degree=int(counts.max()),
+    )
+    centers = jnp.asarray(
+        np.sort(rs.choice(n, 64, replace=False)).astype(np.int32)
+    )
+    ml = g.multilayer_sample(centers, (4, 3), seed=2)
+    mlw = ml.with_windowed_agg(512)
+    assert mlw.hops[0].run_bounds is not None
+    U = ml.unique_gids.shape[0]
+    x = jnp.asarray(rs.randn(U, D).astype(np.float32))
+    model = HomoGNN(model_type=model_type, hidden_dim=128, num_classes=C,
+                    num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), x, sample=ml)
+    out_p = np.asarray(model.apply(params, x, sample=ml))
+    out_w = np.asarray(model.apply(params, x, sample=mlw))
+    np.testing.assert_allclose(out_w, out_p, rtol=3e-4, atol=3e-4)
+    loss = lambda p, s: jnp.sum(jnp.tanh(model.apply(p, x, sample=s)))
+    gp = jax.grad(loss)(params, ml)
+    gw = jax.grad(loss)(params, mlw)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        gp, gw,
+    )
+
+
 def test_sddmm_chunked_matches_plain():
     E, N, D = 5000, 300, 64
     rs = np.random.RandomState(33)

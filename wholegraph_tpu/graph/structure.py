@@ -51,16 +51,21 @@ class HopSubgraph:
     # Populated by multilayer_sample(with_degrees=True); GCNConv uses these
     # for exact D^-1/2 A D^-1/2 normalisation instead of block degrees.
     node_degree: Optional[Array] = None
+    # STATIC windowed-aggregation plan (MultilayerSample.with_windowed_agg):
+    # unique-list run boundaries + per-run window sizes; conv layers then
+    # route sum/mean padded reduces through padded_reduce_windowed.
+    run_bounds: Optional[tuple] = None
+    windows: Optional[tuple] = None
 
     def tree_flatten(self):
         return (
             self.nbr_idx, self.mask, self.center_mask, self.edge_type,
             self.node_degree,
-        ), None
+        ), (self.run_bounds, self.windows)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch)
+        return cls(*ch, run_bounds=aux[0], windows=aux[1])
 
     @property
     def num_targets(self) -> int:
@@ -110,6 +115,25 @@ class MultilayerSample:
         return (0,) + tuple(
             int(g.shape[0]) for g in self.level_gids[: level + 2]
         )
+
+    def with_windowed_agg(self, windows=2048) -> "MultilayerSample":
+        """Annotate every hop with its windowed-aggregation plan (static
+        run boundaries + per-run window sizes): conv layers then route
+        sum/mean padded reduces through the per-run windowed SpMM
+        (:func:`ops.spmm.padded_reduce_windowed`) — profitable on
+        locality-ordered graphs, exact on any (out-of-window edges repair
+        through the residual).  ``windows``: int (same for every run) or
+        per-hop tuple of per-run tuples."""
+        hops = []
+        for l, h in enumerate(self.hops):
+            rb = self.run_bounds(l)
+            if isinstance(windows, int):
+                w = tuple(min(-(-min(b2 - b1, windows) // 128) * 128,
+                              windows) for b1, b2 in zip(rb, rb[1:]))
+            else:
+                w = tuple(windows[l])
+            hops.append(dataclasses.replace(h, run_bounds=rb, windows=w))
+        return dataclasses.replace(self, hops=hops)
 
 
 @dataclasses.dataclass

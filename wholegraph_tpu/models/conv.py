@@ -186,9 +186,28 @@ def _self_feats(x: Array, g: Adj) -> Array:
     return x
 
 
+def _hop_reduce(x: Array, g: HopSubgraph, reduce: str) -> Array:
+    """Sampled-block aggregation: the per-run windowed SpMM path when the
+    hop carries a windowed plan (MultilayerSample.with_windowed_agg) and
+    the shape qualifies, the padded gather+reduce otherwise.  Both exact."""
+    if (
+        g.run_bounds is not None
+        and g.windows is not None
+        and reduce in ("sum", "mean")
+        and x.ndim == 2
+        and x.shape[1] % 128 == 0
+        and (jax.default_backend() == "tpu" or x.shape[0] <= 4096)
+    ):
+        return S.padded_reduce_windowed(
+            x, g.nbr_idx, g.mask, reduce,
+            run_bounds=g.run_bounds, windows=g.windows,
+        ).astype(x.dtype)
+    return S.padded_reduce(x, g.nbr_idx, g.mask, reduce)
+
+
 def _neighbor_mean(x: Array, g: Adj) -> Array:
     if isinstance(g, HopSubgraph):
-        return S.padded_reduce(x, g.nbr_idx, g.mask, "mean")
+        return _hop_reduce(x, g, "mean")
     return _fg_spmm(g, x, "mean")
 
 
@@ -204,7 +223,10 @@ class SAGEConv(nn.Module):
     def __call__(self, x: Array, g: Adj) -> Array:
         xs = _self_feats(x, g)
         if isinstance(g, HopSubgraph):
-            xn = S.padded_reduce(x, g.nbr_idx, g.mask, self.aggregator)
+            if self.aggregator in ("sum", "mean"):
+                xn = _hop_reduce(x, g, self.aggregator)
+            else:
+                xn = S.padded_reduce(x, g.nbr_idx, g.mask, self.aggregator)
         else:
             xn = _fg_spmm(g, x, self.aggregator)
         # concat[self, neigh] @ W == W_self·x + W_neigh·neigh (reference concat form)
@@ -262,7 +284,7 @@ class GCNConv(nn.Module):
                 )
                 inv_src = jax.lax.rsqrt(jnp.maximum(deg_src, 1.0))
                 inv_dst = jax.lax.rsqrt(deg_dst.astype(h.dtype))
-            agg = S.padded_reduce(h * inv_src[:, None], g.nbr_idx, g.mask, "sum")
+            agg = _hop_reduce(h * inv_src[:, None], g, "sum")
             out = (agg + (h * inv_src[:, None])[:B]) * inv_dst[:, None]
         else:
             ones = jnp.ones((g.edge_src.shape[0],), h.dtype)
