@@ -361,7 +361,8 @@ def bench_spmm(num_src=1 << 17, batch=1 << 16, K=16, dim=256, iters=8):
     return batch * K / dt, dt
 
 
-def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
+def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6,
+                         grad=False):
     """Full-graph SpMM over a LOCALITY-ORDERED CSR through the fused pallas
     windowed kernel (ops/spmm_pallas.py spmm_window): per destination tile,
     one window slab DMA + in-VMEM int8 one-hot adjacency build on the MXU +
@@ -386,12 +387,24 @@ def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     rp_d, col_d = jnp.asarray(row_ptr), jnp.asarray(col)
     x = jax.jit(lambda: jnp.ones((n, dim), jnp.float32))()
 
-    def step(i, rp_d, col_d, x):
-        out = spmm_window(
-            rp_d, col_d, x * (1.0 + i * 0.0), window=window,
-            edge_cap=edge_cap, tile=tile, reduce="mean",
-        )
-        return out[0, 0]
+    if grad:
+        # fwd+bwd: the backward is the exact transposed XLA segment path
+        # (spmm_pallas._sw_bwd) — this measures the documented asymmetry
+        def step(i, rp_d, col_d, x):
+            g = jax.grad(lambda x: jnp.sum(spmm_window(
+                rp_d, col_d, x * (1.0 + i * 0.0), window=window,
+                edge_cap=edge_cap, tile=tile, reduce="mean")))(x)
+            # probe spans the full D axis: the bwd's per-edge take would
+            # otherwise be lane-sliced by XLA through a scalar probe (rows
+            # can't be sliced — segment identities are dynamic)
+            return jnp.sum(g[0, :])
+    else:
+        def step(i, rp_d, col_d, x):
+            out = spmm_window(
+                rp_d, col_d, x * (1.0 + i * 0.0), window=window,
+                edge_cap=edge_cap, tile=tile, reduce="mean",
+            )
+            return out[0, 0]
 
     dt = measure_median(step, iters, rp_d, col_d, x)
     return E / dt, dt
@@ -699,7 +712,8 @@ def main():
         choices=[
             "gather", "gather_random", "gather_sorted", "scatter", "apply",
             "sampling", "weighted_sampling", "spmm", "spmm_clustered",
-            "spmm_sampled", "sddmm_clustered", "gat_layer", "gat_layer_grad",
+            "spmm_sampled", "spmm_clustered_grad", "sddmm_clustered",
+            "gat_layer", "gat_layer_grad",
             "scaling", "host_gather", "host_gather_sorted", "train_step",
         ],
         help="default gather_sorted: the production embedding-gather path on "
@@ -826,12 +840,15 @@ def main():
             "vs_baseline": round(eps / sol_eps, 4),
         }))
         return
-    if args.metric == "spmm_clustered":
+    if args.metric in ("spmm_clustered", "spmm_clustered_grad"):
         n = 1 << 20 if backend == "tpu" else 1 << 14
-        eps, dt = bench_spmm_clustered(n=n, dim=args.dim, iters=args.iters)
+        eps, dt = bench_spmm_clustered(
+            n=n, dim=args.dim, iters=args.iters,
+            grad=args.metric == "spmm_clustered_grad",
+        )
         sol_eps = detect_hbm_gbps() * 1e9 / (args.dim * 4)
         print(json.dumps({
-            "metric": "spmm_clustered_throughput",
+            "metric": f"{args.metric}_throughput",
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),

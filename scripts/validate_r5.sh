@@ -24,6 +24,9 @@ run gat_layer_fused     --metric gat_layer
 run gat_layer_xla       --metric gat_layer --gat-xla
 run gat_layer_grad      --metric gat_layer_grad
 run spmm_clustered      --metric spmm_clustered
+run spmm_clustered_grad --metric spmm_clustered_grad
+run spmm_sampled        --metric spmm_sampled
+run spmm_sampled_padded --metric spmm_sampled --sampled-padded
 run sddmm_clustered     --metric sddmm_clustered
 run apply               --metric apply
 run host_gather_sorted  --metric host_gather_sorted
