@@ -205,7 +205,11 @@ def _sample_positions_uniform(deg: Array, K: int, seed: int, centers: Array, hop
             cnt = jnp.sum((sel <= p[:, None]).astype(jnp.int32), axis=1)
             return r + cnt
 
-        p = lax.fori_loop(0, K, fix, r)
+        # the monotone rank-adjust converges in <= j+1 applications (only
+        # j earlier selections exist; each non-fixed application raises
+        # the count by >= 1, and the count is bounded by j) — bit-equal to
+        # running K, at ~half the total [B, K] compare-sum passes (r5)
+        p = lax.fori_loop(0, j + 1, fix, r)
         return sel.at[:, j].set(p)
 
     sel = lax.fori_loop(0, K, body, sel0)
@@ -891,24 +895,42 @@ def _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw):
     def block_path(_):
         return _ladder_run(body, jnp.zeros((B, K), jnp.int32), total_iters, needed)
 
-    def one_block_path(_):
-        """Whole batch's spans inside each center's FIRST enclosing block:
-        one DMA descriptor per center and a [B, K, 128] select — half the
-        2-block ladder floor on both axes."""
-        fl = jnp.clip(blk0, 0, nblk_tab - 1)
-        pad_m = -fl.shape[0] % 1024
-        if pad_m:
-            fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
-        lanes = _gather_rows_pallas3_impl(c2, fl)[:B, 0, :]  # [B, 128]
-        onehot = eidx[:, :, None] == jnp.arange(128, dtype=jnp.int32)[
-            None, None, :
-        ]
-        return jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+    def make_nb_path(nb):
+        """Whole batch's spans inside each center's first ``nb`` enclosing
+        blocks: nb DMA descriptors per center and a [B, K, nb*128] select.
+        The r4 dispatch jumped from nb=1 straight to the 4-block ladder —
+        honest mixed-degree batches (span <= 256 lanes) paid 4x descriptors
+        AND a 4x-wide select for a 2-block need (r5 ladder calibration)."""
 
-    fits_one = jnp.max(s_lane + jnp.maximum(deg, 1)) <= 128
-    return lax.cond(
-        fits_one,
-        one_block_path,
-        lambda _: lax.cond(needed * _NB_COL <= K, block_path, element_path, None),
+        def path(_):
+            bids = blk0[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+            fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+            pad_m = -fl.shape[0] % 1024
+            if pad_m:
+                fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
+            lanes = _gather_rows_pallas3_impl(c2, fl)[: B * nb].reshape(
+                B, nb * 128
+            )
+            onehot = eidx[:, :, None] == jnp.arange(
+                nb * 128, dtype=jnp.int32
+            )[None, None, :]
+            return jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+
+        return path
+
+    def general_path(_):
+        return lax.cond(
+            needed * _NB_COL <= K, block_path, element_path, None
+        )
+
+    span_need = jnp.max(s_lane + jnp.maximum(deg, 1))  # lanes from blk0
+    sel_idx = (
+        (span_need > 128).astype(jnp.int32)
+        + (span_need > 256).astype(jnp.int32)
+        + (span_need > 512).astype(jnp.int32)
+    )
+    return lax.switch(
+        sel_idx,
+        [make_nb_path(1), make_nb_path(2), make_nb_path(4), general_path],
         None,
     )
