@@ -787,7 +787,11 @@ _NB_COL = 2  # 128-lane col blocks fetched per center per ladder iteration
 # the argsort), the uniform sampler's ~5 ms step cannot — measured on v5e,
 # the batch-wide argsort+scatter costs more than the halved col DMA/select
 # saves.  The batch-global 1-block lax.cond below is sort-free and stays.
-_COL_FETCH_BUCKETS = 1
+# env-overridable for silicon A/Bs: sorted degree-bucketed col fetch (each
+# bucket then rides the nb-block switch at ITS OWN span need)
+import os as _os
+
+_COL_FETCH_BUCKETS = int(_os.environ.get("WGTPU_COL_FETCH_BUCKETS", "1"))
 
 
 def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -428,6 +429,41 @@ def _spmm_window_impl(
     return out[:n]
 
 
+def _segment_spmm_chunked(src_rows, take_ids, seg_ids, num_segments, weights,
+                          chunk: int = 1 << 20):
+    """dx[s] = Σ_e (w_e·) src_rows[take_ids[e]] for seg_ids[e] == s, in
+    O(chunk x D) memory: an unchunked take materializes [E, D] (16 GB at
+    E=16M D=256 — OOMs the chip at full-graph scale, the r4 sddmm lesson)."""
+    E = take_ids.shape[0]
+    if E <= chunk:
+        msgs = jnp.take(src_rows, take_ids, axis=0, mode="clip")
+        if weights is not None:
+            msgs = msgs * weights[:, None]
+        return jax.ops.segment_sum(msgs, seg_ids, num_segments=num_segments)
+    pad = -E % chunk
+    tk = jnp.concatenate([take_ids, jnp.zeros((pad,), take_ids.dtype)])
+    sg = jnp.concatenate(
+        [seg_ids, jnp.full((pad,), num_segments, seg_ids.dtype)]
+    )
+    wt = (
+        jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
+        if weights is not None else None
+    )
+    nch = tk.shape[0] // chunk
+
+    def body(c, dx):
+        t = lax.dynamic_slice(tk, (c * chunk,), (chunk,))
+        s = lax.dynamic_slice(sg, (c * chunk,), (chunk,))
+        msgs = jnp.take(src_rows, t, axis=0, mode="clip")
+        if wt is not None:
+            w = lax.dynamic_slice(wt, (c * chunk,), (chunk,))
+            msgs = msgs * w[:, None]
+        return dx.at[s].add(msgs, mode="drop")
+
+    dx = jnp.zeros((num_segments, src_rows.shape[1]), src_rows.dtype)
+    return lax.fori_loop(0, nch, body, dx)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
@@ -471,10 +507,10 @@ def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, res, ct):
     if reduce == "mean":
         deg = (rp[1:] - rp[:-1]).astype(ct.dtype)
         ctd = ct / jnp.maximum(deg, 1)[:, None]
-    msgs = jnp.take(ctd, edge_dst, axis=0, mode="clip")
-    if edge_weight is not None:
-        msgs = msgs * edge_weight.astype(ct.dtype)[:, None]
-    dx = jax.ops.segment_sum(msgs, col.astype(jnp.int32), num_segments=x_shape[0])
+    dx = _segment_spmm_chunked(
+        ctd, edge_dst, col.astype(jnp.int32), x_shape[0],
+        edge_weight.astype(ct.dtype) if edge_weight is not None else None,
+    )
     dw = None
     if edge_weight is not None:
         if weight_grad:
@@ -551,12 +587,17 @@ def spmm_window(
 # Windowed SDDMM (round 4) — per-edge <a[dst], b[src]> on clustered CSRs
 # ---------------------------------------------------------------------------
 #
-# Same dst-tile structure as spmm_window, inverted dataflow: per tile ONE
-# dense S = a_tile @ window^T on the MXU ([T, W] — every candidate pair's
-# score), then each 128-edge block EXTRACTS its edges' scores with the same
-# in-VMEM one-hots (M = oh_dst @ S selects each edge's dst row; a masked
-# oh_src reduce picks its src column).  No per-edge gather of D-dim rows —
-# the XLA sddmm's 2E row reads collapse into one window read per tile.
+# Same dst-tile structure as spmm_window: per 128-edge sub-block, BOTH
+# endpoint rows are selected from VMEM with int8 BYTE-PLANE one-hot matmuls
+# (the bit-exact f32 select the windowed gather uses at 208 GB/s —
+# gather_pallas.py) — a_e = oh_dst-select of the a tile, b_e = oh_src-select
+# of the window slab — then e = rowsum(a_e * b_e) on the VPU.  No per-edge
+# HBM gather of D-dim rows (the XLA sddmm's 2E row reads collapse into one
+# window read per tile), and no dense [T, W] score matrix: the r4 design
+# (S = a @ win^T + a per-group [1024, T] @ [T, W] HIGHEST extraction)
+# measured 6.9 Medges/s on silicon — the f32-HIGHEST extraction matmul and
+# its [1024, W] intermediate dominated everything.  The byte planes of the
+# a tile and the window are extracted ONCE per tile into VMEM scratch.
 # Output layout: per-tile [capb, 128] edge blocks at local positions
 # (off0 + l); sddmm_window flattens back to [E] with one XLA take.
 
@@ -564,7 +605,7 @@ def spmm_window(
 def _sddmm_window_kernel(
     w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
     col2_ref, a_ref, b_ref, out_ref,
-    win, colbuf, sbuf, sems, csems,
+    win, colbuf, aplanes, wplanes, sems, csems,
     *, T, W, D, capb, nt,
 ):
     t = pl.program_id(0)
@@ -604,59 +645,63 @@ def _sddmm_window_kernel(
     rhi_row = jnp.sum(jnp.where(sub_sel8, rhi_ref[...], 0), axis=0,
                       keepdims=True).reshape(1, T)
 
-    # S[r, c] = <a_tile[r], window[c]> — every candidate score, one matmul.
-    # HIGHEST: the extraction below COPIES S entries to the output, so S
-    # itself must be f32-exact (default f32 dot = one bf16 pass, ~1e-2).
-    S = jax.lax.dot_general(
-        a_ref[...], win[slot], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [T, W]
-    sbuf[...] = S
+    # byte planes of the a tile and the window, extracted once per tile
+    # (biased by -128 to fit int8; the select adds the bias back per hit)
+    a_i32 = jax.lax.bitcast_convert_type(a_ref[...], jnp.int32)
+    w_i32 = jax.lax.bitcast_convert_type(win[slot], jnp.int32)
+    for k in range(4):
+        aplanes[k] = (((a_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+        wplanes[k] = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
 
     out_ref[...] = jnp.zeros((capb, 128), jnp.float32)
 
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    iota_grp = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
     lane_W = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
     onehot8 = [
         (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == j) for j in range(8)
     ]
-    iota8_128 = [
-        (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == j) for j in range(8)
-    ]
     ng = (off0 + ne + 1023) // 1024
 
+    def idot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    def plane_select(oh8, hit, planes):
+        """Bit-exact f32 row select via 4 int8 plane matmuls
+        (gather_pallas.py's window-select trick, 208 GB/s-proven)."""
+        acc = jnp.zeros((128, D), jnp.int32)
+        for k in range(4):
+            sel = idot(oh8, planes[k]) + jnp.where(hit, 128, 0)
+            acc = acc | ((sel & 0xFF) << (8 * k))
+        return jax.lax.bitcast_convert_type(acc, jnp.float32)
+
     def group(g, _):
-        # oh_dst needs NO column values (CSR row bounds give it from pure
-        # iota compares), so the group's 1024 edges get their dst-row
-        # scores in ONE [1024, T] @ [T, W] matmul — 8 per-sub-block
-        # matmuls with where-chains between them measured 6.9 Medges/s on
-        # v5e (pipeline serialization), the batched form is the fix.
-        pl_grp = g * 1024 + iota_grp - off0
-        valid_g = (pl_grp >= 0) & (pl_grp < ne)
-        oh_dst_g = (pl_grp >= rlo_row) & (pl_grp < rhi_row) & valid_g
-        M = jax.lax.dot_general(
-            oh_dst_g.astype(jnp.float32), sbuf[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [1024, W]; row e = S[dst_e, :] (one-hot copy — needs the f32
-        #    passes so S bytes survive; the lhs is 0/1, bf16-exact)
         cT = _transpose8(colbuf[slot, pl.ds(g * 8, 8), :])  # [128, 8]
-        rows8 = jnp.zeros((8, 128), jnp.float32)
+        cols8 = jnp.zeros((128, 8), jnp.float32)
         for j in range(8):
             colv = jnp.sum(jnp.where(onehot8[j], cT, 0), axis=1, keepdims=True)
             pl_sub = g * 1024 + j * 128 + iota_sub - off0
             valid = (pl_sub >= 0) & (pl_sub < ne)
-            oh_src = (colv - w0 == lane_W) & valid
-            e_col = jnp.sum(
-                jnp.where(oh_src, M[j * 128:(j + 1) * 128, :], 0.0),
-                axis=1, keepdims=True,
-            )  # [128, 1]
-            e_row = jnp.transpose(e_col, (1, 0))  # [1, 128]
-            rows8 = jnp.where(iota8_128[j], e_row, rows8)
-        out_ref[pl.ds(g * 8, 8), :] = rows8
+            oh_src = (colv - w0 == lane_W) & valid  # [128, W]
+            # dst one-hot against the tile axis: edge e hits tile row r iff
+            # rlo[r] <= pl_sub[e] < rhi[r] (broadcast [128,1] vs [1,T])
+            oh_dst_T = (pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid
+            a_e = plane_select(
+                oh_dst_T.astype(jnp.int8),
+                oh_dst_T.any(axis=1, keepdims=True), aplanes,
+            )  # [128, D] = a[dst_e]
+            b_e = plane_select(
+                oh_src.astype(jnp.int8),
+                oh_src.any(axis=1, keepdims=True), wplanes,
+            )  # [128, D] = b[col_e]
+            e_col = jnp.sum(a_e * b_e, axis=1, keepdims=True)  # [128, 1]
+            # accumulate per-sub-block scores into lane j; ONE [128, 8] ->
+            # [8, 128] transpose per group (8 per-sub-block [128,1]->[1,128]
+            # cross-lane transposes were a measured disaster on v5e)
+            cols8 = jnp.where(onehot8[j], e_col, cols8)
+        out_ref[pl.ds(g * 8, 8), :] = jnp.transpose(cols8, (1, 0))
         return 0
 
     jax.lax.fori_loop(0, ng, group, 0)
@@ -700,7 +745,8 @@ def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((2, W, D), jnp.float32),
             pltpu.VMEM((2, capb, 128), jnp.int32),
-            pltpu.VMEM((T, W), jnp.float32),
+            pltpu.VMEM((4, T, D), jnp.int8),
+            pltpu.VMEM((4, W, D), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -753,9 +799,8 @@ def _sdw_bwd(W, edge_cap, tile, interpret, res, ct):
         ).astype(jnp.int32)
         - 1
     )
-    msgs = jnp.take(a, edge_dst, axis=0, mode="clip") * ct[:, None].astype(a.dtype)
-    db = jax.ops.segment_sum(
-        msgs, col.astype(jnp.int32), num_segments=b.shape[0]
+    db = _segment_spmm_chunked(
+        a, edge_dst, col.astype(jnp.int32), b.shape[0], ct.astype(a.dtype)
     ).astype(b.dtype)
     return (None, None, da, db)
 
