@@ -44,6 +44,26 @@ def measure_median(step, iters, *args, runs=3):
     return sorted(measure_chain(step, iters, *args) for _ in range(runs))[runs // 2]
 
 
+def measure_eager(step, iters, *args, runs=3):
+    """Per-call timing with a scalar fetch after every step: tunnel-safe for
+    steps >~100 ms (the ~RTT fetch amortises), and — unlike measure_chain —
+    does not fuse the steps into one fori_loop program (the GAT chain
+    program kills the TPU worker, scripts/exp_gat_chain.py; eager-repeat of
+    the SAME step is stable)."""
+    import time
+
+    f = jax.jit(step)
+    i0 = jnp.int32(0)
+    float(f(i0, *args))  # compile + warm
+    samples = []
+    for r in range(runs):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            float(f(jnp.int32(i), *args))
+        samples.append((time.perf_counter() - t0) / iters)
+    return sorted(samples)[len(samples) // 2]
+
+
 HBM_GBPS = {
     "v5e": 819.0,
     "v5p": 2765.0,
@@ -556,7 +576,11 @@ def bench_gat_layer(n=1 << 20, deg=16, dim_head=64, heads=4, width=192,
             out = layer.apply(params, feats * (1.0 + i * 0.0), fg)
             return out[0, 0]
 
-    dt = measure_median(step, iters, params, feats)
+    # eager-repeat timing: the fori_loop chain program of this layer kills
+    # the TPU worker (kernel fault — exp_gat_chain.py bisect) while the
+    # same compiled step runs stably standalone; per-step scalar fetches
+    # are tunnel-safe at this step size (>~100 ms >> RTT)
+    dt = measure_eager(step, iters, params, feats)
     return E / dt, dt
 
 

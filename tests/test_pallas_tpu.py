@@ -572,27 +572,62 @@ def test_host_gather_spans_exact_clustered_and_scattered():
     np.testing.assert_array_equal(out, out3)
 
 
-def test_ptr_pair_fetch_matches_two_fetches_tpu():
-    """On hardware, the one-block-DMA (lo, hi) pair fetch must equal the
-    two plain element fetches for a batch large enough to engage it."""
-    from unittest import mock
+def test_select_lanes_pallas_tpu():
+    """Fused lane select: out[b, k] = lanes[b, loc[b, k]], 0 outside
+    [0, S) — vs a numpy replica, with non-tile-multiple B (padding path)
+    and out-of-range locs."""
+    from wholegraph_tpu.ops.gather_pallas import select_lanes_pallas
 
-    import wholegraph_tpu.ops.sampling as sampling_mod
-    from wholegraph_tpu.ops.sampling import _fetch, _fetch_ptr_pairs
+    rs = np.random.RandomState(3)
+    B, S, K = 1000, 256, 15
+    lanes = rs.randint(-(2**31), 2**31, (B, S)).astype(np.int32)
+    loc = rs.randint(-5, S + 5, (B, K)).astype(np.int32)
+    out = np.asarray(select_lanes_pallas(jnp.asarray(lanes), jnp.asarray(loc), K))
+    exp = np.where(
+        (loc >= 0) & (loc < S),
+        np.take_along_axis(lanes, np.clip(loc, 0, S - 1), axis=1),
+        0,
+    )
+    np.testing.assert_array_equal(out, exp)
 
-    rs = np.random.RandomState(12)
-    n = 100_000
-    row_ptr = jnp.asarray(
-        np.concatenate([[0], np.cumsum(rs.randint(0, 40, n))]).astype(np.int32)
-    )
-    centers = jnp.asarray(rs.randint(0, n, 8192).astype(np.int32))
-    with mock.patch.object(sampling_mod, "_PTR_PAIR_FETCH", True):
-        lo, hi = _fetch_ptr_pairs(row_ptr, centers)
+
+def test_gather_lane_slabs_pallas_tpu():
+    """One-descriptor slab fetch: out[i] = c2[blk[i]:blk[i]+nb] flattened,
+    vs numpy, with non-1024-multiple B (padding path)."""
+    from wholegraph_tpu.ops.gather_pallas import gather_lane_slabs_pallas
+
+    rs = np.random.RandomState(4)
+    nblk, nb, B = 4096, 2, 3000
+    c2 = rs.randint(-(2**31), 2**31, (nblk, 128)).astype(np.int32)
+    blk = rs.randint(0, nblk - nb + 1, B).astype(np.int32)
+    out = np.asarray(gather_lane_slabs_pallas(jnp.asarray(c2), jnp.asarray(blk), nb))
+    exp = np.stack([c2[b : b + nb].reshape(-1) for b in blk])
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_col_fetch_slab_select_bitequal_element_path_tpu():
+    """Honest unaligned mixed-degree CSR through the r5 slab-DMA +
+    pallas-select col fetch (the nb-block switch) vs the per-element
+    path — bit-equal end to end, including near-table-end clamped
+    windows."""
+    from wholegraph_tpu.ops.sampling import csr_sample_neighbors
+
+    rs = np.random.RandomState(5)
+    n, K = 20_000, 10
+    degs = rs.randint(3, 28, n)
+    rp = np.concatenate([[0], np.cumsum(degs)]).astype(np.int32)
+    E = int(rp[-1])
+    col = rs.randint(0, n, E).astype(np.int32)
+    # include centers at the very end of the table (slab clamp path)
+    centers = np.concatenate(
+        [rs.randint(0, n, 2048 - 16), np.arange(n - 16, n)]
+    ).astype(np.int32)
+    args = (jnp.asarray(rp), jnp.asarray(col), jnp.asarray(centers), K)
+    res_e = csr_sample_neighbors(*args, seed=9)  # element path
+    res_b = csr_sample_neighbors(*args, seed=9, max_degree=65536)
+    np.testing.assert_array_equal(np.asarray(res_e.mask), np.asarray(res_b.mask))
     np.testing.assert_array_equal(
-        np.asarray(lo), np.asarray(_fetch(row_ptr, centers))
-    )
-    np.testing.assert_array_equal(
-        np.asarray(hi), np.asarray(_fetch(row_ptr, centers + 1))
+        np.asarray(res_e.neighbors), np.asarray(res_b.neighbors)
     )
 
 

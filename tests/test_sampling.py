@@ -411,48 +411,12 @@ def test_graph_weighted_fastpath_multilayer_bitequal_cpu():
         np.testing.assert_array_equal(np.asarray(ha.mask), np.asarray(hb.mask))
 
 
-def test_ptr_pair_fetch_bitequal_cpu():
-    """The interleaved (lo, hi) row_ptr pair fetch (TPU block path) must
-    return exactly row_ptr[c], row_ptr[c+1] — run on CPU by stubbing the
-    pallas block fetch with jnp.take."""
-    from unittest import mock
-
-    import wholegraph_tpu.ops.gather_pallas as gp
-    from wholegraph_tpu.ops.sampling import _fetch_ptr_pairs
-
-    rs = np.random.RandomState(11)
-    n = 5000
-    deg = rs.randint(0, 50, n)
-    row_ptr = jnp.asarray(
-        np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
-    )
-    centers = jnp.asarray(rs.randint(0, n, 4096).astype(np.int32))
-    # include the block-straddle corners: 2c at lane 126 and c = n-1
-    centers = centers.at[0].set(63).at[1].set(n - 1).at[2].set(0)
-
-    def fake_gather3(table, ids, **kw):
-        out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
-        return out[:, None, :] if out.ndim == 2 else out
-
-    import wholegraph_tpu.ops.sampling as sampling_mod
-
-    with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
-         mock.patch.object(sampling_mod, "_PTR_PAIR_FETCH", True), \
-         mock.patch(
-             "wholegraph_tpu.ops.sampling.jax.default_backend",
-             return_value="tpu",
-         ):
-        lo, hi = _fetch_ptr_pairs(row_ptr, centers)
-    c = np.asarray(centers)
-    np.testing.assert_array_equal(np.asarray(lo), np.asarray(row_ptr)[c])
-    np.testing.assert_array_equal(np.asarray(hi), np.asarray(row_ptr)[c + 1])
-
-
-def test_col_fetch_bucketed_oneblock_bitequal_cpu():
-    """The degree-bucketed col fetch (B>=4096; 1-block single-shot for
-    buckets whose spans fit one 128-lane block, 2-block ladder otherwise)
-    must return exactly the element-path cols.  Pallas fetch stubbed with
-    jnp.take; backend mocked to tpu."""
+def test_col_fetch_slab_select_bitequal_cpu():
+    """The r5 block col fetch (slab DMA + fused pallas lane select behind
+    the nb-block lax.switch, block ladder for the wide tail) must return
+    exactly the element-path cols — run on CPU by stubbing the three
+    pallas entry points (slab gather, ring gather, lane select) with
+    jnp.take replicas; backend mocked to tpu."""
     from unittest import mock
 
     import wholegraph_tpu.ops.gather_pallas as gp
@@ -460,13 +424,15 @@ def test_col_fetch_bucketed_oneblock_bitequal_cpu():
 
     rs = np.random.RandomState(41)
     n = 8000
-    # mixed degrees: mostly small (1-block buckets), a tail forcing the
-    # higher buckets through the 2-block / ladder sides
+    # mixed degrees + a tail forcing the ladder / element sides; centers at
+    # the table end exercise the slab clamp+shift
     deg = rs.randint(1, 30, n)
     deg[rs.choice(n, 40, replace=False)] = rs.randint(200, 500, 40)
     row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
     col = rs.randint(0, n, int(row_ptr[-1])).astype(np.int32)
-    centers = rs.randint(0, n, 4096).astype(np.int32)
+    centers = np.concatenate(
+        [rs.randint(0, n, 4088), np.arange(n - 8, n)]
+    ).astype(np.int32)
     K = 7
 
     ref = csr_sample_neighbors(
@@ -478,10 +444,28 @@ def test_col_fetch_bucketed_oneblock_bitequal_cpu():
         out = jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
         return out[:, None, :] if out.ndim == 2 else out
 
-    import wholegraph_tpu.ops.sampling as sampling_mod
+    def fake_slabs(c2, blk_start, nb, **kw):
+        B = blk_start.shape[0]
+        bids = blk_start[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+        return jnp.take(c2, bids.reshape(-1), axis=0).reshape(B, nb * 128)
+
+    def fake_select(lanes, loc, K_, **kw):
+        S = lanes.shape[1]
+        inr = (loc >= 0) & (loc < S)
+        sel = jnp.take_along_axis(lanes, jnp.clip(loc, 0, S - 1), axis=1)
+        return jnp.where(inr, sel, 0)[:, :K_]
+
+    # narrow-degree CSR: engages the nb-block switch (span <= 256 lanes)
+    deg2 = rs.randint(1, 30, n)
+    rp2 = np.concatenate([[0], np.cumsum(deg2)]).astype(np.int32)
+    col2 = rs.randint(0, n, int(rp2[-1])).astype(np.int32)
+    ref2 = csr_sample_neighbors(
+        jnp.asarray(rp2), jnp.asarray(col2), jnp.asarray(centers), K, seed=3,
+    )
 
     with mock.patch.object(gp, "_gather_rows_pallas3_impl", fake_gather3), \
-         mock.patch.object(sampling_mod, "_COL_FETCH_BUCKETS", 4), \
+         mock.patch.object(gp, "gather_lane_slabs_pallas", fake_slabs), \
+         mock.patch.object(gp, "select_lanes_pallas", fake_select), \
          mock.patch(
              "wholegraph_tpu.ops.sampling.jax.default_backend",
              return_value="tpu",
@@ -490,10 +474,15 @@ def test_col_fetch_bucketed_oneblock_bitequal_cpu():
             jnp.asarray(row_ptr), jnp.asarray(col), jnp.asarray(centers), K,
             seed=2, max_degree=1024,
         )
-    np.testing.assert_array_equal(np.asarray(res.mask), np.asarray(ref.mask))
-    np.testing.assert_array_equal(
-        np.asarray(res.positions), np.asarray(ref.positions)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(res.neighbors), np.asarray(ref.neighbors)
-    )
+        res2 = csr_sample_neighbors(
+            jnp.asarray(rp2), jnp.asarray(col2), jnp.asarray(centers), K,
+            seed=3, max_degree=1024,
+        )
+    for got, want in ((res, ref), (res2, ref2)):
+        np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(want.mask))
+        np.testing.assert_array_equal(
+            np.asarray(got.positions), np.asarray(want.positions)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.neighbors), np.asarray(want.neighbors)
+        )

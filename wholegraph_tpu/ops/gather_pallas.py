@@ -339,6 +339,173 @@ def gather_rows_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Lane-slab gather: one DMA descriptor per id covering `slab` 128-lane blocks
+# ---------------------------------------------------------------------------
+
+
+def _gather_slab_kernel(
+    ids_ref, table_ref, out_ref, sems, *, per_step: int, n_inflight: int,
+    slab: int,
+):
+    """out[(base+g)*slab : +slab] = table[ids[g] : ids[g]+slab]: each DMA
+    moves ``slab`` CONSECUTIVE major-axis rows (contiguous in HBM) as ONE
+    descriptor — the descriptor-rate savings the per-row ring cannot get
+    for adjacent rows (ring cost is ~8 ns/descriptor regardless of size up
+    to ~2KB, docs/DESIGN.md)."""
+    id_block = ids_ref.shape[0]
+    base = pl.program_id(0) * id_block
+    off = pl.program_id(1) * per_step
+
+    def dma(j):
+        g = off + j
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(ids_ref[g], slab)],
+            out_ref.at[pl.ds((base + g) * slab, slab)],
+            sems.at[j % n_inflight],
+        )
+
+    def issue(j, _):
+        @pl.when(j >= n_inflight)
+        def _wait():
+            dma(j - n_inflight).wait()
+
+        dma(j).start()
+        return 0
+
+    lax.fori_loop(0, per_step, issue, 0, unroll=True)
+
+    def drain(k, _):
+        dma(per_step - n_inflight + k).wait()
+        return 0
+
+    lax.fori_loop(0, n_inflight, drain, 0, unroll=True)
+
+
+def _gather_slabs_impl(
+    table3: Array, blk_start: Array, nb: int, *, id_block: int = 1024,
+    n_inflight: int = 256,
+) -> Array:
+    """out[i*nb : (i+1)*nb] = table3[blk_start[i] : blk_start[i] + nb]:
+    ONE descriptor per id covering ``nb`` consecutive major rows of a
+    [nblk, P, 128] table.  blk_start caller-clamped to [0, nblk - nb]."""
+    B = blk_start.shape[0]
+    nblk, P = table3.shape[0], table3.shape[1]
+    assert table3.shape[2] == 128 and nblk >= nb, (table3.shape, nb)
+    pad_b = -B % id_block
+    ids = blk_start.astype(jnp.int32)
+    if pad_b:
+        ids = jnp.concatenate([ids, jnp.zeros((pad_b,), jnp.int32)])
+    per_step, nsteps = _ring_steps(id_block, 1, None)
+    n_inflight = min(n_inflight, per_step)
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_slab_kernel, per_step=per_step, n_inflight=n_inflight,
+            slab=nb,
+        ),
+        grid=((B + pad_b) // id_block, nsteps),
+        in_specs=[
+            pl.BlockSpec((id_block,), lambda i, s: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(((B + pad_b) * nb, P, 128), table3.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_inflight,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids, table3)
+    return out[: B * nb]
+
+
+def gather_lane_slabs_pallas(
+    c2: Array, blk_start: Array, nb: int, *, id_block: int = 1024,
+    n_inflight: int = 256,
+) -> Array:
+    """out[i] = c2[blk_start[i] : blk_start[i] + nb] flattened to
+    [B, nb*128]: the sampler's col-window fetch with ONE descriptor per
+    center (consecutive col blocks are contiguous in HBM; fetching them as
+    nb separate ring rows pays nb descriptors for one slab's bytes).
+
+    c2: [nblk, 128] int32 (the 128-lane-blocked col table); blk_start: [B]
+    int32, caller-clamped to [0, nblk - nb].
+    """
+    B = blk_start.shape[0]
+    nblk = c2.shape[0]
+    assert c2.shape[1] == 128, c2.shape
+    out = _gather_slabs_impl(
+        c2.reshape(nblk, 1, 128), blk_start, nb, id_block=id_block,
+        n_inflight=n_inflight,
+    )
+    return out.reshape(B, nb * 128)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-row lane select: out[b, k] = lanes[b, loc[b, k]]
+# ---------------------------------------------------------------------------
+
+
+def _select_lanes_kernel(lanes_ref, loc_ref, out_ref, *, K: int):
+    """out[b, k] = lanes[b, loc[b, k]] for k < K (0 when loc is outside
+    [0, S)); loc/out are lane-padded to 128.  The whole [Bt, K, S] one-hot
+    lives as K transient [Bt, S] vregs in VMEM — expressing this select as
+    a broadcast-compare-reduce at the XLA level materialises the [B, K, S]
+    intermediate in HBM (~1 GB at B=64K, K=15, S=256: the uniform
+    sampler's dominant cost before r5, scripts/exp_uniform_ladder.py)."""
+    lanes = lanes_ref[...]
+    loc = loc_ref[...]
+    iota_s = lax.broadcasted_iota(jnp.int32, lanes.shape, 1)
+    iota_o = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for k in range(K):
+        lk = lax.broadcast_in_dim(loc[:, k], lanes.shape, (0,))
+        colk = jnp.sum(
+            jnp.where(iota_s == lk, lanes, 0), axis=1, keepdims=True
+        )
+        acc = acc + jnp.where(iota_o == k, colk, 0)
+    out_ref[...] = acc
+
+
+def select_lanes_pallas(
+    lanes: Array, loc: Array, K: int, *, tile: int = 512
+) -> Array:
+    """Per-row lane gather ``out[b, k] = lanes[b, loc[b, k]]`` (int32), 0
+    when ``loc`` falls outside ``[0, S)``.
+
+    TPU-only fusion kernel for the sampler's col-block selects (the
+    reference reads each sampled col with one global-memory load inside the
+    sampling kernel, unweighted_sample_without_replacement_func.cuh:132-282;
+    here the cols arrive as whole 128-lane blocks and this kernel does the
+    in-register lane pick).  ``lanes`` [B, S] int32 with S a multiple of
+    128; ``loc`` [B, K] int32.  B is padded to ``tile`` internally.
+    """
+    B, S = lanes.shape
+    assert S % 128 == 0, S
+    Kp = loc.shape[1]
+    assert K <= Kp and K <= 128, (K, Kp)
+    if Kp != 128:
+        loc = jnp.concatenate(
+            [loc, jnp.full((B, 128 - Kp), -1, jnp.int32)], axis=1
+        )
+    pad_b = -B % tile
+    if pad_b:
+        lanes = jnp.concatenate(
+            [lanes, jnp.zeros((pad_b, S), lanes.dtype)], axis=0
+        )
+        loc = jnp.concatenate(
+            [loc, jnp.full((pad_b, 128), -1, jnp.int32)], axis=0
+        )
+    out = pl.pallas_call(
+        functools.partial(_select_lanes_kernel, K=K),
+        grid=((B + pad_b) // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, S), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B + pad_b, 128), jnp.int32),
+    )(lanes.astype(jnp.int32), loc.astype(jnp.int32))
+    return out[:B, :K]
+
+
+# ---------------------------------------------------------------------------
 # Windowed gather: sorted ids, multi-row DMAs + MXU one-hot select
 # ---------------------------------------------------------------------------
 #

@@ -92,63 +92,15 @@ def _fetch_elements(src: TableLike, ids: Array, **kw) -> Array:
     return _fetch(src, ids, **kw)
 
 
-# Interleaved (lo, hi) row_ptr pair fetch: OFF by default pending a clean
-# hardware A/B — the round-3b sweep that bundled it with the (reverted)
-# bucketed col fetch measured the uniform sampler at ~120 vs 194 Medges/s
-# and the isolating run could not be completed before the round closed.
-# Bit-equality is CPU-proven (test_ptr_pair_fetch_bitequal_cpu); flip to
-# True to fetch both row_ptr ends with ONE block DMA per center.
-_PTR_PAIR_FETCH = False
-
-
 def _fetch_ptr_pairs(row_ptr: TableLike, centers: Array, **kw):
-    """(row_ptr[c], row_ptr[c+1]) for every center in ONE block fetch.
+    """(row_ptr[c], row_ptr[c+1]) for every center.
 
-    The two scalar gathers are each issue-bound (~13 ns/element via XLA, or
-    one 128-lane block DMA per element via the pallas path) and together
-    were ~1/3 of the uniform sampler's step time.  Interleaving the pairs
-    ``[lo_0, hi_0, lo_1, hi_1, ...]`` puts every center's pair at lanes
-    (2c)&127 and (2c)&127 + 1 of the SAME 128-lane block (2c is even, so
-    lane <= 126 — the pair never straddles a block), so one pallas block
-    DMA per center serves both ends.  The [2N] interleave build is a
-    streaming copy XLA fuses (~8 MB at N=2M, negligible vs the per-element
-    gathers it replaces)."""
-    if (
-        _PTR_PAIR_FETCH
-        and not hasattr(row_ptr, "gather")
-        and jax.default_backend() == "tpu"
-        and row_ptr.ndim == 1
-        and centers.ndim == 1
-        and centers.shape[0] >= 4096
-        # 2*c below must stay in int32: guard the id range.
-        and row_ptr.shape[0] <= 2**30
-    ):
-        from .gather_pallas import _gather_rows_pallas3_impl
-
-        N = row_ptr.shape[0] - 1
-        pairs = jnp.stack([row_ptr[:-1], row_ptr[1:]], axis=1).reshape(-1)
-        pad_e = -pairs.shape[0] % 128
-        if pad_e:
-            pairs = jnp.concatenate(
-                [pairs, jnp.zeros((pad_e,), pairs.dtype)]
-            )
-        p2 = pairs.reshape(-1, 128)
-        idc = 2 * jnp.clip(centers.astype(jnp.int32), 0, N - 1)
-        blk = idc >> 7
-        lane = idc & 127
-        B = centers.shape[0]
-        pad_m = -B % 1024
-        if pad_m:
-            blk = jnp.concatenate([blk, jnp.zeros((pad_m,), blk.dtype)])
-        rows = _gather_rows_pallas3_impl(p2, blk)[:B, 0, :]  # [B, 128]
-        li = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-        lo = jnp.sum(jnp.where(li == lane[:, None], rows, 0), axis=1)
-        hi = jnp.sum(jnp.where(li == lane[:, None] + 1, rows, 0), axis=1)
-        # Match the fallback's semantics for out-of-range centers: degree 0
-        # (the clip above would otherwise alias c >= N onto node N-1).
-        oob = (centers < 0) | (centers >= N)
-        hi = jnp.where(oob, lo, hi)
-        return lo.astype(row_ptr.dtype), hi.astype(row_ptr.dtype)
+    Two element gathers.  An interleaved-pair pallas block fetch (one DMA
+    serving both ends) lived here behind ``_PTR_PAIR_FETCH`` through r3-r5;
+    the r5 phase ladder measured the ptr fetch at ~0.0-0.2 ms of the 5 ms
+    uniform step (exp_uniform_ladder.py) — nothing to win — so the path was
+    deleted (docs/DESIGN.md 'Uniform sampler ladder'; git history has the
+    implementation)."""
     return (
         _fetch(row_ptr, centers, **kw),
         _fetch(row_ptr, centers + 1, **kw),
@@ -450,13 +402,43 @@ def _fetch_pair_blocks(cw: Array, fl: Array, B: int, nblk: int):
     return cols, w
 
 
+def _fetch_pair_slabs(cw: Array, blk_first: Array, B: int, nblk: int):
+    """Pair-block window fetch with ONE slab descriptor per center
+    (consecutive pair blocks are contiguous in HBM).  Returns
+    (cols [B, nblk*128], w [B, nblk*128], shift [B]) where ``shift`` is the
+    per-center lane shift the end-of-table clamp introduced (lane l holds
+    table lane ``blk_first*128 + l - shift``).  Callers must fold ``shift``
+    into their offset math; safe only where shifted-in EARLIER lanes cannot
+    duplicate a previous ladder iteration's offsets (single-shot paths:
+    earlier offsets are negative there and masked)."""
+    nblk_tab = cw.shape[0]
+    if (
+        _SLAB_FETCH
+        and jax.default_backend() == "tpu"
+        and nblk_tab >= nblk
+    ):
+        from .gather_pallas import _gather_slabs_impl
+
+        blk_s = jnp.clip(blk_first, 0, nblk_tab - nblk)
+        pairs = _gather_slabs_impl(cw, blk_s, nblk)  # [B*nblk, 2, 128]
+        pairs = pairs.reshape(B, nblk, 2, 128)
+        cols = pairs[:, :, 0, :].reshape(B, nblk * 128)
+        w = lax.bitcast_convert_type(pairs[:, :, 1, :], jnp.float32).reshape(
+            B, nblk * 128
+        )
+        return cols, w, (blk_first - blk_s) * 128
+    bids = blk_first[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+    fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
+    cols, w = _fetch_pair_blocks(cw, fl, B, nblk)
+    return cols, w, jnp.zeros((B,), jnp.int32)
+
+
 def _merge_topk3(best_keys, best_pos, best_col, key, col_lanes, K: int,
                  off_of_topi):
     """`_merge_topk` carrying the neighbor VALUE alongside the position:
-    in-chunk winners' cols are recovered by a one-hot masked reduce over the
-    chunk's col lanes (same select the unfused col fetch pays per ladder
-    iteration — a span-wide take_along_axis costs ~15 ms at [64K, 542])."""
-    span = key.shape[1]
+    in-chunk winners' cols are recovered by the fused lane select over the
+    chunk's col lanes (a span-wide take_along_axis costs ~15 ms at
+    [64K, 542]; the XLA one-hot materialises [B, K, span] in HBM)."""
     merged = jnp.concatenate([best_keys, key], axis=1)
     topk, topi = lax.approx_max_k(
         merged, K, recall_target=1.0, aggregate_to_topk=True
@@ -464,9 +446,8 @@ def _merge_topk3(best_keys, best_pos, best_col, key, col_lanes, K: int,
     topi = topi.astype(jnp.int32)
     carried_pos = jnp.take_along_axis(best_pos, jnp.minimum(topi, K - 1), axis=1)
     carried_col = jnp.take_along_axis(best_col, jnp.minimum(topi, K - 1), axis=1)
-    inlane = topi - K  # [B, K], valid where topi >= K
-    oh = inlane[:, :, None] == jnp.arange(span, dtype=jnp.int32)[None, None, :]
-    sel = jnp.sum(jnp.where(oh, col_lanes[:, None, :], 0), axis=2)
+    inlane = topi - K  # [B, K], valid where topi >= K (else < 0 -> sel 0)
+    sel = _select_lanes(col_lanes, inlane, K)
     return (
         topk,
         jnp.where(topi < K, carried_pos, off_of_topi(topi)),
@@ -525,10 +506,12 @@ def _weighted_sample_fused(
     def make_single_shot(nblk: int):
         def single_shot(_):
             spanS = nblk * 128
-            bids = blk0[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
-            fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
-            cols, w = _fetch_pair_blocks(cw, fl, B, nblk)
-            offs = jnp.arange(spanS, dtype=jnp.int32)[None, :] - s_lane[:, None]
+            cols, w, shift = _fetch_pair_slabs(cw, blk0, B, nblk)
+            # end-of-table slab clamp shifts the window down; shifted-in
+            # earlier lanes map to NEGATIVE offs -> masked (no earlier
+            # iteration exists in a single shot, so no duplicates)
+            base = s_lane + shift
+            offs = jnp.arange(spanS, dtype=jnp.int32)[None, :] - base[:, None]
             valid = (offs >= 0) & (offs < deg[:, None])
             offs_c = jnp.where(valid, offs, 0)
             u = rng.rand_uniform(
@@ -543,11 +526,8 @@ def _weighted_sample_fused(
                 key, K, recall_target=1.0, aggregate_to_topk=True
             )
             topi = topi.astype(jnp.int32)
-            oh = topi[:, :, None] == jnp.arange(spanS, dtype=jnp.int32)[
-                None, None, :
-            ]
-            nbr = jnp.sum(jnp.where(oh, cols[:, None, :], 0), axis=2)
-            return topk, topi - s_lane[:, None], nbr
+            nbr = _select_lanes(cols, topi, K)
+            return topk, topi - base[:, None], nbr
 
         return single_shot
 
@@ -781,61 +761,47 @@ def csr_sample_neighbors(
 
 _NB_COL = 2  # 128-lane col blocks fetched per center per ladder iteration
 
-# Degree-bucketed col fetch: >1 sorts centers by span need into that many
-# equal buckets so low-lane buckets ride the 1-block single-shot.  OFF by
-# default (1): unlike the weighted sampler (whose per-step cost amortises
-# the argsort), the uniform sampler's ~5 ms step cannot — measured on v5e,
-# the batch-wide argsort+scatter costs more than the halved col DMA/select
-# saves.  The batch-global 1-block lax.cond below is sort-free and stays.
-# env-overridable for silicon A/Bs: sorted degree-bucketed col fetch (each
-# bucket then rides the nb-block switch at ITS OWN span need)
 import os as _os
 
-_COL_FETCH_BUCKETS = int(_os.environ.get("WGTPU_COL_FETCH_BUCKETS", "1"))
+# col-block lane select via the fused pallas kernel (select_lanes_pallas);
+# 0 = the XLA broadcast-compare-reduce, kept for silicon A/Bs
+_SELECT_PALLAS = int(_os.environ.get("WGTPU_SELECT_PALLAS", "1")) != 0
+
+# col-window fetch as ONE slab DMA per center (gather_lane_slabs_pallas)
+# instead of nb per-block ring rows; 0 = the r4 per-block fetch, for A/Bs
+_SLAB_FETCH = int(_os.environ.get("WGTPU_SLAB_FETCH", "1")) != 0
+
+
+def _select_lanes(lanes: Array, loc: Array, K: int) -> Array:
+    """out[b, k] = lanes[b, loc[b, k]] (0 outside [0, S)): fused pallas
+    kernel on TPU — the XLA broadcast-compare-reduce materialises the
+    [B, K, S] one-hot in HBM (~1 GB at B=64K/K=15/S=256: the pre-r5
+    dominant sampler cost, exp_uniform_ladder.py), and a span-wide
+    take_along_axis costs ~15 ms at these shapes."""
+    if _SELECT_PALLAS and jax.default_backend() == "tpu":
+        from .gather_pallas import select_lanes_pallas
+
+        return select_lanes_pallas(lanes, loc, K)
+    oh = loc[:, :, None] == jnp.arange(
+        lanes.shape[1], dtype=jnp.int32
+    )[None, None, :]
+    return jnp.sum(jnp.where(oh, lanes[:, None, :], 0), axis=2)
 
 
 def _fetch_cols(col, start, deg, pos, mask, max_degree, **kw):
     """col[start[b] + pos[b, k]] for the sampled positions.
 
     Element path: one 128-lane block DMA per ELEMENT (B*K descriptors).
-    Block path (TPU, replicated col, static max_degree): DMA each center's
-    enclosing blocks once per ladder iteration and lane-select all K
-    elements from them — B*_NB_COL*iters descriptors, a ~7x cut at fanout
-    15 on low-degree batches.  A lax.cond picks the cheaper side from the
-    BATCH's actual span (the ladder is batch-global: one high-degree center
-    forces every center through all its iterations, so wide batches fall
-    back to per-element fetches).  Large batches are degree-bucketed first
-    (sorted by span need into 4 equal buckets, mirroring the weighted
-    dispatch): buckets whose whole span fits ONE block take a single-shot
-    1-block select — half the DMA descriptors AND half the [B, K, span]
-    one-hot select work of the 2-block ladder floor."""
-    B, K = pos.shape
-    use_bucketed = (
-        _COL_FETCH_BUCKETS > 1
-        and not hasattr(col, "gather")
-        and jax.default_backend() == "tpu"
-        and max_degree is not None
-        and 0 < int(max_degree) < 2**24
-        and B >= 4096
-        and B % _COL_FETCH_BUCKETS == 0
-    )
-    if use_bucketed:
-        need = (start & 127) + deg
-        order = jnp.argsort(need)
-        G = _COL_FETCH_BUCKETS
-        Bg = B // G
-        parts = []
-        for g in range(G):
-            sl = order[g * Bg:(g + 1) * Bg]
-            parts.append(
-                _fetch_cols_block(
-                    col, start[sl], deg[sl], pos[sl], mask[sl], max_degree,
-                    **kw,
-                )
-            )
-        return (
-            jnp.zeros((B, K), jnp.int32).at[order].set(jnp.concatenate(parts))
-        )
+    Block path (TPU, replicated col, static max_degree): ONE slab DMA per
+    center covering its enclosing blocks + the fused pallas lane select —
+    a lax.switch picks the slab width {1, 2, 4} from the BATCH's span
+    need, the block ladder + element path cover the long tail.  (A
+    degree-bucketed variant — argsort into 4 span buckets so low buckets
+    ride narrower selects — lived here through r3-r5 behind
+    ``_COL_FETCH_BUCKETS``, measured negative: the argsort+scatter cost
+    more than the narrower selects saved, and the r5 fused select made
+    select width ~free.  Deleted; docs/DESIGN.md 'Uniform sampler
+    ladder', implementation in git history.)"""
     return _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw)
 
 
@@ -861,7 +827,10 @@ def _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw):
     if not use_blocks:
         return element_path(None)
 
-    from .gather_pallas import _gather_rows_pallas3_impl
+    from .gather_pallas import (
+        _gather_rows_pallas3_impl,
+        gather_lane_slabs_pallas,
+    )
 
     E = col.shape[0]
     pad_e = -E % 128
@@ -875,23 +844,31 @@ def _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw):
     blk0 = start >> 7
     s_lane = start & 127
     eidx = s_lane[:, None] + jnp.where(mask, pos, 0)  # [B, K]
-    lane_iota = jnp.arange(span, dtype=jnp.int32)[None, None, :]
 
-    def body(c, out):
-        bids = blk0[:, None] + c * _NB_COL + jnp.arange(
-            _NB_COL, dtype=jnp.int32
-        )[None, :]
+    def _select(lanes, loc):
+        return _select_lanes(lanes, loc, K)
+
+    def _fetch_window(blk_first, nb):
+        """[B, nb*128] col lanes starting at block ``blk_first`` (clamped to
+        the table) + the per-center lane shift the clamp introduced."""
+        if _SLAB_FETCH and nblk_tab >= nb:
+            blk_s = jnp.clip(blk_first, 0, nblk_tab - nb)
+            return gather_lane_slabs_pallas(c2, blk_s, nb), (
+                (blk_first - blk_s) * 128
+            )
+        bids = blk_first[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
         fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
         pad_m = -fl.shape[0] % 1024
         if pad_m:
             fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
-        lanes = _gather_rows_pallas3_impl(c2, fl)[: B * _NB_COL].reshape(B, span)
+        lanes = _gather_rows_pallas3_impl(c2, fl)[: B * nb].reshape(B, nb * 128)
+        return lanes, jnp.zeros((B,), jnp.int32)
+
+    def body(c, out):
+        lanes, shift = _fetch_window(blk0 + c * _NB_COL, _NB_COL)
         loc = eidx - c * span  # [B, K]
         cover = (loc >= 0) & (loc < span)
-        # lane select via masked reduce (a [B, K] take_along_axis over a
-        # span-wide operand costs ~15 ms at this shape on v5e — avoided)
-        onehot = loc[:, :, None] == lane_iota
-        sel = jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+        sel = _select(lanes, loc + shift[:, None])
         return jnp.where(cover, sel, out)
 
     needed = jnp.max(-(-(s_lane + jnp.maximum(deg, 1)) // span))
@@ -907,18 +884,8 @@ def _fetch_cols_block(col, start, deg, pos, mask, max_degree, **kw):
         AND a 4x-wide select for a 2-block need (r5 ladder calibration)."""
 
         def path(_):
-            bids = blk0[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
-            fl = jnp.clip(bids, 0, nblk_tab - 1).reshape(-1)
-            pad_m = -fl.shape[0] % 1024
-            if pad_m:
-                fl = jnp.concatenate([fl, jnp.zeros((pad_m,), fl.dtype)])
-            lanes = _gather_rows_pallas3_impl(c2, fl)[: B * nb].reshape(
-                B, nb * 128
-            )
-            onehot = eidx[:, :, None] == jnp.arange(
-                nb * 128, dtype=jnp.int32
-            )[None, None, :]
-            return jnp.sum(jnp.where(onehot, lanes[:, None, :], 0), axis=2)
+            lanes, shift = _fetch_window(blk0, nb)
+            return _select(lanes, eidx + shift[:, None])
 
         return path
 

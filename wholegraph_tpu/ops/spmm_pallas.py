@@ -524,6 +524,8 @@ def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, res, ct):
                 row_ptr, col, ct.astype(jnp.float32),
                 x_or_shape.astype(jnp.float32),
                 T=tile, W=W, edge_cap=edge_cap, interpret=interpret,
+                mode="split2",  # gradient: 2 bf16 hi+lo selects (~2^-16
+                # rel) run ~4x fewer MXU passes than the bit-exact planes
             ).astype(edge_weight.dtype)
         else:
             # caller declared the weights constant (weight_grad=False, e.g.
@@ -606,7 +608,7 @@ def _sddmm_window_kernel(
     w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
     col2_ref, a_ref, b_ref, out_ref,
     win, colbuf, aplanes, wplanes, sems, csems,
-    *, T, W, D, capb, nt,
+    *, T, W, D, capb, nt, mode="exact",
 ):
     t = pl.program_id(0)
 
@@ -645,13 +647,28 @@ def _sddmm_window_kernel(
     rhi_row = jnp.sum(jnp.where(sub_sel8, rhi_ref[...], 0), axis=0,
                       keepdims=True).reshape(1, T)
 
-    # byte planes of the a tile and the window, extracted once per tile
-    # (biased by -128 to fit int8; the select adds the bias back per hit)
-    a_i32 = jax.lax.bitcast_convert_type(a_ref[...], jnp.int32)
-    w_i32 = jax.lax.bitcast_convert_type(win[slot], jnp.int32)
-    for k in range(4):
-        aplanes[k] = (((a_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
-        wplanes[k] = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+    if mode == "exact":
+        # byte planes of the a tile and the window, extracted once per tile
+        # (biased by -128 to fit int8; the select adds the bias back per hit)
+        a_i32 = jax.lax.bitcast_convert_type(a_ref[...], jnp.int32)
+        w_i32 = jax.lax.bitcast_convert_type(win[slot], jnp.int32)
+        for k in range(4):
+            aplanes[k] = (((a_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+            wplanes[k] = (((w_i32 >> (8 * k)) & 0xFF) - 128).astype(jnp.int8)
+    else:
+        # split2: x ≈ hi + lo with two bf16 planes (hi = bf16(x), lo =
+        # bf16(x - hi), ~2^-16 rel residual) — each one-hot select is ONE
+        # bf16 MXU pass and the reassembly is a single f32 add (no bitwise
+        # VPU work); for GRADIENT consumers (spmm_window dw) where ~1e-5
+        # rel is ample
+        a_f = a_ref[...]
+        w_f = win[slot]
+        a_hi = a_f.astype(jnp.bfloat16)
+        w_hi = w_f.astype(jnp.bfloat16)
+        aplanes[0] = a_hi
+        aplanes[1] = (a_f - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wplanes[0] = w_hi
+        wplanes[1] = (w_f - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     out_ref[...] = jnp.zeros((capb, 128), jnp.float32)
 
@@ -668,9 +685,25 @@ def _sddmm_window_kernel(
             preferred_element_type=jnp.int32,
         )
 
-    def plane_select(oh8, hit, planes):
-        """Bit-exact f32 row select via 4 int8 plane matmuls
-        (gather_pallas.py's window-select trick, 208 GB/s-proven)."""
+    def plane_select(oh, hit, planes):
+        """Row select from VMEM planes via one-hot matmuls: mode 'exact' =
+        4 bit-exact int8 byte-plane passes (gather_pallas.py's window-
+        select trick, 208 GB/s-proven); mode 'split2' = 2 bf16 passes
+        (hi+lo, ~2^-16 rel — one-hot rows select single terms, so each
+        pass is exact on its plane)."""
+        if mode != "exact":
+            ohb = oh.astype(jnp.bfloat16)
+            return (
+                jax.lax.dot_general(
+                    ohb, planes[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    ohb, planes[1], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        oh8 = oh.astype(jnp.int8)
         acc = jnp.zeros((128, D), jnp.int32)
         for k in range(4):
             sel = idot(oh8, planes[k]) + jnp.where(hit, 128, 0)
@@ -689,12 +722,10 @@ def _sddmm_window_kernel(
             # rlo[r] <= pl_sub[e] < rhi[r] (broadcast [128,1] vs [1,T])
             oh_dst_T = (pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid
             a_e = plane_select(
-                oh_dst_T.astype(jnp.int8),
-                oh_dst_T.any(axis=1, keepdims=True), aplanes,
+                oh_dst_T, oh_dst_T.any(axis=1, keepdims=True), aplanes,
             )  # [128, D] = a[dst_e]
             b_e = plane_select(
-                oh_src.astype(jnp.int8),
-                oh_src.any(axis=1, keepdims=True), wplanes,
+                oh_src, oh_src.any(axis=1, keepdims=True), wplanes,
             )  # [128, D] = b[col_e]
             e_col = jnp.sum(a_e * b_e, axis=1, keepdims=True)  # [128, 1]
             # accumulate per-sub-block scores into lane j; ONE [128, 8] ->
@@ -708,9 +739,10 @@ def _sddmm_window_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "W", "edge_cap", "interpret")
+    jax.jit, static_argnames=("T", "W", "edge_cap", "interpret", "mode")
 )
-def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
+def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap,
+                       interpret=False, mode="exact"):
     E = col.shape[0]
     N, D = b.shape
     p = _window_tile_plan(row_ptr, col, T=T, edge_cap=edge_cap)
@@ -724,9 +756,10 @@ def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
         [b.astype(jnp.float32), jnp.zeros((W + 32, D), jnp.float32)]
     )
 
+    nplanes, pdtype = (4, jnp.int8) if mode == "exact" else (2, jnp.bfloat16)
     out = pl.pallas_call(
         functools.partial(
-            _sddmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt,
+            _sddmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt, mode=mode,
         ),
         grid=(nt,),
         in_specs=[
@@ -745,8 +778,8 @@ def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((2, W, D), jnp.float32),
             pltpu.VMEM((2, capb, 128), jnp.int32),
-            pltpu.VMEM((4, T, D), jnp.int8),
-            pltpu.VMEM((4, W, D), jnp.int8),
+            pltpu.VMEM((nplanes, T, D), pdtype),
+            pltpu.VMEM((nplanes, W, D), pdtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -764,23 +797,24 @@ def _sddmm_window_impl(row_ptr, col, a, b, *, T, W, edge_cap, interpret=False):
     return jnp.take(out.reshape(-1), flat_idx, mode="clip")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _sddmm_window_diff(row_ptr, col, a, b, W, edge_cap, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _sddmm_window_diff(row_ptr, col, a, b, W, edge_cap, tile, interpret,
+                       mode):
     return _sddmm_window_impl(
         row_ptr, col, a, b, T=tile, W=W, edge_cap=edge_cap,
-        interpret=interpret,
+        interpret=interpret, mode=mode,
     )
 
 
-def _sdw_fwd(row_ptr, col, a, b, W, edge_cap, tile, interpret):
+def _sdw_fwd(row_ptr, col, a, b, W, edge_cap, tile, interpret, mode):
     out = _sddmm_window_impl(
         row_ptr, col, a, b, T=tile, W=W, edge_cap=edge_cap,
-        interpret=interpret,
+        interpret=interpret, mode=mode,
     )
     return out, (row_ptr, col, a, b)
 
 
-def _sdw_bwd(W, edge_cap, tile, interpret, res, ct):
+def _sdw_bwd(W, edge_cap, tile, interpret, mode, res, ct):
     # e_k = <a[dst_k], b[src_k]>:
     #   da[d] = Σ_{e∈row(d)} ct_e · b[src_e]  — the WEIGHTED windowed SpMM
     #     on the same tile plan (fused, no per-edge row reads);
@@ -818,23 +852,29 @@ def sddmm_window(
     edge_cap: int,
     tile: int = 256,
     interpret: bool | None = None,
+    select_mode: str = "exact",
 ) -> Array:
     """Windowed SDDMM over a locality-ordered CSR: e_k = <a[dst_k],
     b[col[k]]> for the CSR's dst-sorted edges (dst derived from row_ptr).
     Same plan contract as :func:`spmm_window` (plan_spmm_tiles; out-of-
     window edges yield zeros — gate on the plan's ``feasible``).
     Differentiable: da rides the weighted windowed SpMM on the same plan
-    (fused), db the exact XLA transposed segment path.  Reference analog:
-    cuGraph-Ops fused mha_gat_n2n's SDDMM stage (gat_conv.py:22-102), XLA
-    fallback ops/spmm.py sddmm."""
+    (fused), db the exact XLA transposed segment path.  ``select_mode``:
+    'exact' = bit-exact 4x int8 byte-plane row selects; 'split2' = 2x bf16
+    hi+lo selects (~2^-16 rel on the operand rows — for gradient
+    consumers).  Reference analog: cuGraph-Ops fused mha_gat_n2n's SDDMM
+    stage (gat_conv.py:22-102), XLA fallback ops/spmm.py sddmm."""
     from ..utils.error import check_input
 
     check_input(a.shape[1] == b.shape[1], "a/b dim mismatch")
     check_input(a.shape[1] % 128 == 0, "dim must be a multiple of 128")
     check_input(a.shape[0] == row_ptr.shape[0] - 1, "a rows != num_dst")
+    check_input(select_mode in ("exact", "split2"),
+                f"unknown select_mode {select_mode!r}")
     W = -(-(window + 32) // 128) * 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _sddmm_window_diff(
-        row_ptr, col, a, b, W, int(edge_cap), tile, bool(interpret)
+        row_ptr, col, a, b, W, int(edge_cap), tile, bool(interpret),
+        select_mode,
     )
