@@ -577,6 +577,18 @@ def spmm_window(
     # every in-plan col strictly inside [w0, w0 + W))
     W = -(-(window + 32) // 128) * 128
     check_input(x.shape[1] % 128 == 0, "dim must be a multiple of 128")
+    # fail fast on VMEM overflow (~16 MB/core; the remote compile helper
+    # otherwise dies with an opaque subprocess error): double-buffered
+    # window slab + the [T, W] accumulator dominate
+    D_ = x.shape[1]
+    capb_ = (-(-(1024 + int(edge_cap)) // 1024)) * 8
+    vmem_est = 4 * (2 * W * D_ + tile * W + 2 * capb_ * 128 * 2) + 8 * tile * D_
+    check_input(
+        vmem_est < 12 << 20,
+        f"spmm_window VMEM estimate {vmem_est >> 20} MB exceeds the ~12 MB "
+        f"budget (window={window} -> W={W}, dim={D_}, tile={tile}); shrink "
+        "the window (misses join the caller's exact residual/fallback)",
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _spmm_window_diff(
@@ -872,6 +884,19 @@ def sddmm_window(
     check_input(select_mode in ("exact", "split2"),
                 f"unknown select_mode {select_mode!r}")
     W = -(-(window + 32) // 128) * 128
+    D_ = b.shape[1]
+    capb_ = (-(-(1024 + int(edge_cap)) // 1024)) * 8
+    nplanes = 4 if select_mode == "exact" else 2
+    psize = 1 if select_mode == "exact" else 2
+    vmem_est = (
+        4 * (2 * W * D_ + 2 * capb_ * 128 + capb_ * 128)
+        + nplanes * psize * D_ * (tile + W)
+    )
+    check_input(
+        vmem_est < 12 << 20,
+        f"sddmm_window VMEM estimate {vmem_est >> 20} MB exceeds the ~12 MB "
+        f"budget (window={window} -> W={W}, dim={D_}, tile={tile})",
+    )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _sddmm_window_diff(
