@@ -430,7 +430,8 @@ def bench_spmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6,
     return E / dt, dt
 
 
-def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
+def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6,
+                          select_mode="exact"):
     """Full-graph SDDMM over the same locality-ordered CSR through the
     fused pallas windowed kernel (ops/spmm_pallas.py sddmm_window): per dst
     tile ONE S = a @ window^T matmul + in-VMEM one-hot extraction, vs the
@@ -456,7 +457,7 @@ def bench_sddmm_clustered(n=1 << 20, deg=16, dim=256, width=192, iters=6):
     def step(i, rp_d, col_d, a):
         e = sddmm_window(
             rp_d, col_d, a * (1.0 + i * 0.0), a, window=window,
-            edge_cap=edge_cap, tile=tile,
+            edge_cap=edge_cap, tile=tile, select_mode=select_mode,
         )
         return e[0]
 
@@ -753,10 +754,15 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+    ap.add_argument("--dtype", default=None, choices=["f32", "bf16"],
                     help="gather_sorted/train_step: table dtype (bf16 = the "
                     "half-byte table path; gather_sorted then reports "
-                    "f32-equivalent serving capacity)")
+                    "f32-equivalent serving capacity).  Default: bf16 for "
+                    "the gather_sorted HEADLINE (the production serving "
+                    "config — reference half/bf16 table coverage, "
+                    "tensor_description.h:29-40; r5 VERDICT named bf16 "
+                    "bytes the one remaining headline lever), f32 "
+                    "elsewhere.")
     ap.add_argument("--no-assume-unique", action="store_true",
                     help="train_step only: keep the apply's local dedup "
                     "sort even though unique_gids warrants uniqueness "
@@ -765,6 +771,12 @@ def main():
                     help="train_step only: chunked touched-rows-"
                     "proportional apply with this chunk size (multiple "
                     "of 1024); 0 = single-shot")
+    ap.add_argument("--sddmm-mode", default="exact",
+                    choices=["exact", "split2"],
+                    help="sddmm_clustered only: row-select mode (exact = "
+                    "bit-exact int8 byte planes; split2 = 2x bf16 hi+lo, "
+                    "~2^-16 operand rounding — the gradient-consumer "
+                    "config spmm_window's dw uses)")
     ap.add_argument("--sampled-padded", action="store_true",
                     help="spmm_sampled only: run the descriptor-bound "
                     "padded gather+reduce instead of the windowed block "
@@ -783,6 +795,8 @@ def main():
                          "region into this directory (TensorBoard/xprof "
                          "format; SURVEY §5 tracing parity)")
     args = ap.parse_args()
+    if args.dtype is None:
+        args.dtype = "bf16" if args.metric == "gather_sorted" else "f32"
     if args.trace:
         import contextlib
 
@@ -827,11 +841,13 @@ def main():
         return
     if args.metric == "sddmm_clustered":
         n = 1 << 20 if backend == "tpu" else 1 << 14
-        eps, dt = bench_sddmm_clustered(n=n, dim=args.dim, iters=args.iters)
+        eps, dt = bench_sddmm_clustered(n=n, dim=args.dim, iters=args.iters,
+                                        select_mode=args.sddmm_mode)
         # SoL proxy: one a-row + one b-row read per edge at full HBM rate
         sol_eps = detect_hbm_gbps() * 1e9 / (2 * args.dim * 4)
         print(json.dumps({
-            "metric": "sddmm_clustered_throughput",
+            "metric": "sddmm_clustered_throughput"
+            + ("_split2" if args.sddmm_mode == "split2" else ""),
             "value": round(eps / 1e6, 3),
             "unit": "Medges/s",
             "vs_baseline": round(eps / sol_eps, 4),
