@@ -21,9 +21,13 @@ WGTPU_TEST_TPU=1 timeout 1800 python -m pytest tests/test_pallas_tpu.py \
 run sampling            python bench.py --metric sampling
 run sampling_slab_only  env WGTPU_SELECT_PALLAS=0 python bench.py --metric sampling
 run weighted_sampling   python bench.py --metric weighted_sampling
-run sddmm_exact         python bench.py --metric sddmm_clustered
-run sddmm_split2        python bench.py --metric sddmm_clustered --sddmm-mode split2
+echo "=== exp_sddmm_xla2: the XLA bar for dw routing ($(date +%H:%M:%S))"
+timeout 1800 python scripts/exp_sddmm_xla2.py 2>&1 | tail -4
 run spmm_clustered_grad python bench.py --metric spmm_clustered_grad
 run spmm_sampled        python bench.py --metric spmm_sampled
+run spmm_sampled_padded python bench.py --metric spmm_sampled --sampled-padded
 run train_step          python bench.py --metric train_step --unique-chunk 32768
+run gat_layer_fused     python bench.py --metric gat_layer
+run gat_layer_xla       python bench.py --metric gat_layer --gat-xla
+run gat_layer_grad      python bench.py --metric gat_layer_grad
 echo "=== batch6 done ($(date +%H:%M:%S))"

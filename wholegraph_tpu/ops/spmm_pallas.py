@@ -258,24 +258,29 @@ def _spmm_window_kernel(
 
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     lane_W = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
-    onehot8 = [
-        (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1) == j) for j in range(8)
-    ]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
     ng = (off0 + ne + 1023) // 1024
+    # the 8 sub-blocks fully unrolled keep 8 live [128, W] one-hots — at
+    # W >= ~2048 that blows the 16 MB scoped-VMEM limit (measured 17.82 MB
+    # at W=2176, artifacts/r5_batch5.log); large windows run the sub-block
+    # loop sequentially instead
+    unroll_j = 8 if W <= 1024 else 1
 
     def group(g, _):
         cT = _transpose8(colbuf[slot, pl.ds(g * 8, 8), :])  # [128, 8]
         if weighted:
             vT = _transpose8(wbuf[slot, pl.ds(g * 8, 8), :])
-        for j in range(8):
-            colv = jnp.sum(jnp.where(onehot8[j], cT, 0), axis=1, keepdims=True)
+
+        def sub(j, _c):
+            onehot_j = iota8 == j
+            colv = jnp.sum(jnp.where(onehot_j, cT, 0), axis=1, keepdims=True)
             pl_sub = g * 1024 + j * 128 + iota_sub - off0  # local edge pos
             valid = (pl_sub >= 0) & (pl_sub < ne)
             oh_src = ((colv - w0 == lane_W) & valid).astype(jnp.int8)
             oh_dst = (pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid
             if weighted:
                 wv = jnp.sum(
-                    jnp.where(onehot8[j], vT, 0), axis=1, keepdims=True
+                    jnp.where(onehot_j, vT, 0), axis=1, keepdims=True
                 )
                 lhs = oh_dst.astype(jnp.float32) * wv
                 # HIGHEST: TPU's default f32 dot is a single bf16 MXU pass
@@ -294,6 +299,9 @@ def _spmm_window_kernel(
                     preferred_element_type=jnp.int32,
                 )
             acc[...] = acc[...] + contrib
+            return 0
+
+        jax.lax.fori_loop(0, 8, sub, 0, unroll=unroll_j)
         return 0
 
     jax.lax.fori_loop(0, ng, group, 0)
@@ -577,17 +585,24 @@ def spmm_window(
     # every in-plan col strictly inside [w0, w0 + W))
     W = -(-(window + 32) // 128) * 128
     check_input(x.shape[1] % 128 == 0, "dim must be a multiple of 128")
-    # fail fast on VMEM overflow (~16 MB/core; the remote compile helper
-    # otherwise dies with an opaque subprocess error): double-buffered
-    # window slab + the [T, W] accumulator dominate
+    # fail fast on scoped-VMEM overflow (16 MB limit; the remote compile
+    # helper otherwise dies with an opaque subprocess error).  Calibrated
+    # r5: scratch (window slab x2 + [T, W] acc) + the sub-block loop's live
+    # [128, W] one-hots (x8 when unrolled) — 17.82 MB measured at W=2176
+    # unrolled vs the formula's 17.4 (artifacts/r5_batch5.log)
     D_ = x.shape[1]
     capb_ = (-(-(1024 + int(edge_cap)) // 1024)) * 8
-    vmem_est = 4 * (2 * W * D_ + tile * W + 2 * capb_ * 128 * 2) + 8 * tile * D_
+    unr = 8 if W <= 1024 else 1
+    vmem_est = (
+        4 * (2 * W * D_ + tile * W + 2 * capb_ * 128 * 2 + 2 * tile * D_)
+        + int(unr * 128 * W * 4 * 1.5)
+    )
     check_input(
-        vmem_est < 12 << 20,
-        f"spmm_window VMEM estimate {vmem_est >> 20} MB exceeds the ~12 MB "
-        f"budget (window={window} -> W={W}, dim={D_}, tile={tile}); shrink "
-        "the window (misses join the caller's exact residual/fallback)",
+        vmem_est < 15 << 20,
+        f"spmm_window VMEM estimate {vmem_est >> 20} MB exceeds the 16 MB "
+        f"scoped budget (window={window} -> W={W}, dim={D_}, tile={tile}); "
+        "shrink the window (misses join the caller's exact residual/"
+        "fallback)",
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
