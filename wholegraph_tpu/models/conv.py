@@ -172,6 +172,12 @@ def _fg_gat_windowed(
         oh = spmm_window(
             rp, src, xh, window=g.window, edge_cap=g.edge_cap,
             reduce="sum", edge_weight=alpha[:, h],
+            # attention weights are gradient-grade computed values: the
+            # split2 A-build (2 bf16 hi+lo passes, ~2^-16 rel) runs ~3x
+            # fewer MXU passes than f32-HIGHEST — the GAT fwd's dominant
+            # cost (exp_gat_chain: invariant-chain 3.3 s at E=20M was the
+            # 4 HIGHEST weighted A-builds)
+            weight_precision="split2",
         )
         outs.append(oh[:, :D].astype(featv.dtype))
     out = jnp.stack(outs, axis=1)  # [N, H, D]

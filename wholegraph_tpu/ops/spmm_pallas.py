@@ -197,7 +197,7 @@ def _spmm_window_kernel(
     w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
     col2_ref, w2_ref, x_ref, out_ref,
     win, colbuf, wbuf, acc, sems, csems,
-    *, T, W, D, capb, nt, weighted, reduce,
+    *, T, W, D, capb, nt, weighted, reduce, wprec="highest",
 ):
     t = pl.program_id(0)
 
@@ -282,16 +282,40 @@ def _spmm_window_kernel(
                 wv = jnp.sum(
                     jnp.where(onehot_j, vT, 0), axis=1, keepdims=True
                 )
-                lhs = oh_dst.astype(jnp.float32) * wv
-                # HIGHEST: TPU's default f32 dot is a single bf16 MXU pass
-                # (~1e-2 relative — the r4 hardware sweep failed on exactly
-                # this); oh_src is 0/1 (bf16-exact), lhs carries the weights.
-                contrib = jax.lax.dot_general(
-                    lhs, oh_src.astype(jnp.float32),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                if wprec == "split2":
+                    # 2 bf16 single-pass dots: w = hi + lo (bf16 planes,
+                    # ~2^-16 rel).  Each term is EXACT per pass (one-hot
+                    # 1.0 x bf16 plane multiplies exactly into the f32
+                    # accumulator); vs HIGHEST's ~6 bf16 passes this is
+                    # the weighted A-build at ~1/3 the MXU cost — for
+                    # gradient-grade weights (GAT attention).
+                    ohs_b = oh_src.astype(jnp.bfloat16)
+                    ohd_f = oh_dst.astype(jnp.float32)
+                    w_hi = wv.astype(jnp.bfloat16)
+                    w_lo = (wv - w_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    contrib = jnp.zeros((T, W), jnp.float32)
+                    for wp in (w_hi, w_lo):
+                        lhs = (ohd_f * wp.astype(jnp.float32)).astype(
+                            jnp.bfloat16
+                        )
+                        contrib = contrib + jax.lax.dot_general(
+                            lhs, ohs_b, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                else:
+                    lhs = oh_dst.astype(jnp.float32) * wv
+                    # HIGHEST: TPU's default f32 dot is a single bf16 MXU
+                    # pass (~1e-2 relative — the r4 hardware sweep failed
+                    # on exactly this); oh_src is 0/1 (bf16-exact), lhs
+                    # carries the weights.
+                    contrib = jax.lax.dot_general(
+                        lhs, oh_src.astype(jnp.float32),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
             else:
                 contrib = jax.lax.dot_general(
                     oh_dst.astype(jnp.int8), oh_src,
@@ -380,10 +404,11 @@ def _window_tile_plan(row_ptr, col, *, T, edge_cap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "W", "edge_cap", "reduce", "interpret"),
+    static_argnames=("T", "W", "edge_cap", "reduce", "interpret", "wprec"),
 )
 def _spmm_window_impl(
-    row_ptr, col, x, edge_weight, *, T, W, edge_cap, reduce, interpret=False
+    row_ptr, col, x, edge_weight, *, T, W, edge_cap, reduce, interpret=False,
+    wprec="highest",
 ):
     E = col.shape[0]
     N, D = x.shape
@@ -407,7 +432,7 @@ def _spmm_window_impl(
     out = pl.pallas_call(
         functools.partial(
             _spmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt,
-            weighted=weighted, reduce=reduce,
+            weighted=weighted, reduce=reduce, wprec=wprec,
         ),
         grid=(nt,),
         in_specs=[
@@ -473,28 +498,29 @@ def _segment_spmm_chunked(src_rows, take_ids, seg_ids, num_segments, weights,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
 )
 def _spmm_window_diff(row_ptr, col, x, edge_weight, W, edge_cap, tile,
-                      reduce, interpret, weight_grad):
+                      reduce, interpret, weight_grad, wprec):
     return _spmm_window_impl(
         row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
-        reduce=reduce, interpret=interpret,
+        reduce=reduce, interpret=interpret, wprec=wprec,
     )
 
 
 def _sw_fwd(row_ptr, col, x, edge_weight, W, edge_cap, tile, reduce,
-            interpret, weight_grad):
+            interpret, weight_grad, wprec):
     out = _spmm_window_impl(
         row_ptr, col, x, edge_weight, T=tile, W=W, edge_cap=edge_cap,
-        reduce=reduce, interpret=interpret,
+        reduce=reduce, interpret=interpret, wprec=wprec,
     )
     # x is saved only when dw is wanted (it needs x); else just the shape
     save_x = edge_weight is not None and weight_grad
     return out, (row_ptr, col, x if save_x else x.shape, edge_weight)
 
 
-def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, res, ct):
+def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, wprec, res,
+            ct):
     # dx[s] = Σ_{(s,d)∈E} w_e · (ct[d] / deg_d if mean else ct[d]) — the
     # TRANSPOSED SpMM, computed exactly through the XLA segment path (the
     # backward is a scatter over sources, outside the windowed kernel's
@@ -559,6 +585,7 @@ def spmm_window(
     edge_weight: Array | None = None,
     interpret: bool | None = None,
     weight_grad: bool = True,
+    weight_precision: str = "highest",
 ) -> Array:
     """Fused pallas windowed SpMM over a locality-ordered CSR (see block
     comment above).  Size ``window``/``edge_cap`` with
@@ -570,7 +597,11 @@ def spmm_window(
     SDDMM ``<ct[dst], x[src]>`` on the same tile plan — learnable edge
     weights such as GAT attention train through this path; callers whose
     weights are constants, e.g. mask-derived 0/1, pass
-    ``weight_grad=False`` to skip the SDDMM in the backward).  Weighted
+    ``weight_grad=False`` to skip the SDDMM in the backward).
+    ``weight_precision``: 'highest' = f32-HIGHEST weighted A-build (~6 bf16
+    MXU passes, exact-grade); 'split2' = 2 bf16 hi+lo passes (~2^-16 rel on
+    the weights — the gradient-grade config GAT attention uses; ~1/3 the
+    A-build MXU cost).  Weighted
     ``mean`` is rejected: the kernel would normalise by the weight sum, not
     the edge count, silently diverging from :func:`ops.spmm.spmm`."""
     from ..utils.error import check_input
@@ -606,9 +637,11 @@ def spmm_window(
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    check_input(weight_precision in ("highest", "split2"),
+                f"unknown weight_precision {weight_precision!r}")
     return _spmm_window_diff(
         row_ptr, col, x, edge_weight, W, int(edge_cap), tile, reduce,
-        bool(interpret), bool(weight_grad),
+        bool(interpret), bool(weight_grad), weight_precision,
     )
 
 
@@ -851,6 +884,7 @@ def _sdw_bwd(W, edge_cap, tile, interpret, mode, res, ct):
     da = _spmm_window_impl(
         row_ptr, col, b.astype(jnp.float32), ct.astype(jnp.float32),
         T=tile, W=W, edge_cap=edge_cap, reduce="sum", interpret=interpret,
+        wprec="split2",  # ct is a cotangent: gradient-grade weights
     ).astype(a.dtype)
     E = col.shape[0]
     rp = row_ptr.astype(jnp.int32)
