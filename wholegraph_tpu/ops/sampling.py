@@ -420,7 +420,11 @@ def _fetch_pair_slabs(cw: Array, blk_first: Array, B: int, nblk: int):
         from .gather_pallas import _gather_slabs_impl
 
         blk_s = jnp.clip(blk_first, 0, nblk_tab - nblk)
-        pairs = _gather_slabs_impl(cw, blk_s, nblk)  # [B*nblk, 2, 128]
+        # cw is the 2-D [nblk, 256] pair-block table; the slab kernel wants
+        # the [nblk, 2, 128] plane view (free: same byte layout)
+        pairs = _gather_slabs_impl(
+            cw.reshape(nblk_tab, 2, 128), blk_s, nblk
+        )  # [B*nblk, 2, 128]
         pairs = pairs.reshape(B, nblk, 2, 128)
         cols = pairs[:, :, 0, :].reshape(B, nblk * 128)
         w = lax.bitcast_convert_type(pairs[:, :, 1, :], jnp.float32).reshape(
