@@ -531,11 +531,8 @@ def test_spmm_window_vjp_matches_segment_grad():
         colj, dstj, x, n, "sum", edge_weight=w))), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                rtol=1e-4, atol=1e-5)
-    # dw rides the windowed SDDMM in select_mode='split2' (2 bf16 hi+lo
-    # one-hot passes, ~2^-16 operand rounding; cancellation-prone edge dots
-    # amplify that to ~3e-3 rel on <1% of edges — gradient-grade)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
-                               rtol=5e-3, atol=1e-4)
+                               rtol=1e-4, atol=1e-5)
     # weighted mean is rejected (weight-sum vs edge-count normalisation)
     with pytest.raises(Exception):
         spmm_window(rpj, colj, x, window=window, edge_cap=edge_cap,

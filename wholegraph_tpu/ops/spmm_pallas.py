@@ -548,18 +548,21 @@ def _sw_bwd(W, edge_cap, tile, reduce, interpret, weight_grad, wprec, res,
     dw = None
     if edge_weight is not None:
         if weight_grad:
-            # d loss / d w_e = <ct[dst_e], x[src_e]> — exactly the windowed
-            # SDDMM with a=ct, b=x (same tile plan: the fwd's in-plan edges
-            # are the bwd's).  This closes the r4 silent-zero-weight-grad
-            # landmine: learnable edge weights (GAT attention) now train
-            # through the windowed path.  reduce == 'mean' never reaches
-            # here (weighted mean is rejected at the API).
-            dw = _sddmm_window_impl(
-                row_ptr, col, ct.astype(jnp.float32),
-                x_or_shape.astype(jnp.float32),
-                T=tile, W=W, edge_cap=edge_cap, interpret=interpret,
-                mode="split2",  # gradient: 2 bf16 hi+lo selects (~2^-16
-                # rel) run ~4x fewer MXU passes than the bit-exact planes
+            # d loss / d w_e = <ct[dst_e], x[src_e]> — the SDDMM.  This
+            # closes the r4 silent-zero-weight-grad landmine: learnable
+            # edge weights (GAT attention) train through this path.
+            # Routed to the XLA chunked per-edge SDDMM: silicon A/B r5b —
+            # XLA 33.2 Medges/s vs the windowed kernel's 7.2 (exact) /
+            # 7.3 (split2); per-edge one-hot row extraction costs
+            # O(T or W) MACs/edge and loses to the descriptor-bound takes
+            # (docs/DESIGN.md 'Windowed SDDMM').  Exact f32, same math as
+            # the reference's per-edge backward.  reduce == 'mean' never
+            # reaches here (weighted mean is rejected at the API).
+            from .spmm import sddmm_chunked
+
+            dw = sddmm_chunked(
+                col.astype(jnp.int32), edge_dst,
+                ct.astype(jnp.float32), x_or_shape.astype(jnp.float32),
             ).astype(edge_weight.dtype)
         else:
             # caller declared the weights constant (weight_grad=False, e.g.
