@@ -533,7 +533,7 @@ def bench_spmm_sampled(n=2_000_000, deg=16, width=192, dim=256, batch=1024,
     return Eb / dt, dt
 
 
-def bench_gat_layer(n=1 << 20, deg=16, dim_head=64, heads=4, width=192,
+def bench_gat_layer(n=1 << 18, deg=16, dim_head=64, heads=4, width=192,
                     iters=6, fused=True, grad=False):
     """Full-graph GAT layer throughput over a locality-ordered CSR — the
     mha_gat_n2n analog (reference torch/cugraphops/gat_conv.py:73-101).
@@ -867,7 +867,9 @@ def main():
         }))
         return
     if args.metric in ("gat_layer", "gat_layer_grad"):
-        n = 1 << 20 if backend == "tpu" else 1 << 12
+        # n=256K (E~5M): at n=1M the per-edge XLA baseline fails to compile
+        # (helper exit 1, every r5 sweep) — the A/B needs both sides alive
+        n = 1 << 18 if backend == "tpu" else 1 << 12
         heads, dim_head = 4, 64
         eps, dt = bench_gat_layer(
             n=n, heads=heads, dim_head=dim_head, iters=args.iters,
