@@ -503,10 +503,11 @@ def bench_spmm_sampled(n=2_000_000, deg=16, width=192, dim=256, batch=1024,
     x = jax.jit(lambda: jnp.ones((U, dim), jnp.float32))()
     rb = ml.run_bounds(L)
     # per-run windows: targets/new-run spans measured r5 ~26/256/2900 p90 at
-    # this shape; cap 2048 — win 4096 at D=256 blows the ~16 MB VMEM budget
-    # (2xW window slab + [T, W] acc; the exact edge residual absorbs the
-    # extra out-of-window tail)
-    wins = tuple(min(-(-min(b2 - b1, 2048) // 128) * 128, 2048)
+    # this shape; cap 1024 — the scoped-VMEM calibration (spmm_pallas.py)
+    # caps W*(2D+T) and 2048 measured 228 KB over the 16 MB limit at D=256
+    # (exp_sampled_compile.log; the exact edge residual absorbs the extra
+    # out-of-window tail)
+    wins = tuple(min(-(-min(b2 - b1, 1024) // 128) * 128, 1024)
                  for b1, b2 in zip(rb, rb[1:]))
     nbr, msk = hop.nbr_idx, hop.mask
 

@@ -367,10 +367,28 @@ class GATConv(nn.Module):
                     in_axes=1,
                     out_axes=1,
                 )(logits)
-                msgs = jnp.take(featv, src, axis=0) * alpha[..., None]  # [E, H, D]
-                out = jax.ops.segment_sum(
-                    msgs.reshape(src.shape[0], H * D), dst, num_segments=g.num_nodes
-                ).reshape(-1, H, D)
+                E_, n_ = src.shape[0], g.num_nodes
+                if E_ * H * D > 1 << 28:
+                    # full-graph scale: the [E, H, D] message intermediate
+                    # (5+ GB at E=5M, H=4, D=64) OOMs a 16 GB chip — run
+                    # the aggregation per head in O(chunk x D) memory (the
+                    # same chunking the windowed VJP uses)
+                    from ..ops.spmm_pallas import _segment_spmm_chunked
+
+                    out = jnp.stack(
+                        [
+                            _segment_spmm_chunked(
+                                featv[:, h, :], src, dst, n_, alpha[:, h]
+                            )
+                            for h in range(H)
+                        ],
+                        axis=1,
+                    )  # [N, H, D]
+                else:
+                    msgs = jnp.take(featv, src, axis=0) * alpha[..., None]
+                    out = jax.ops.segment_sum(
+                        msgs.reshape(E_, H * D), dst, num_segments=n_
+                    ).reshape(-1, H, D)
         if self.concat_heads:
             return out.reshape(out.shape[0], H * D)
         return out.mean(axis=1)

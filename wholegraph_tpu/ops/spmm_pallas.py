@@ -620,21 +620,20 @@ def spmm_window(
     W = -(-(window + 32) // 128) * 128
     check_input(x.shape[1] % 128 == 0, "dim must be a multiple of 128")
     # fail fast on scoped-VMEM overflow (16 MB limit; the remote compile
-    # helper otherwise dies with an opaque subprocess error).  Calibrated
-    # r5: scratch (window slab x2 + [T, W] acc) + the sub-block loop's live
-    # [128, W] one-hots (x8 when unrolled) — 17.82 MB measured at W=2176
-    # unrolled vs the formula's 17.4 (artifacts/r5_batch5.log)
+    # helper otherwise dies with an opaque subprocess error).  Empirical
+    # r5 calibration: Mosaic's scoped total ~= 2.7x the scratch bytes
+    # (window slab x2 + [T, W] acc + edge buffers) with only weak
+    # unroll dependence — 17.82 MB at W=2176 unrolled-8, 16.22 MB at
+    # W=2176 unroll-1, compiles at W=1152 (artifacts/r5_batch5.log,
+    # exp_sampled_compile.log)
     D_ = x.shape[1]
     capb_ = (-(-(1024 + int(edge_cap)) // 1024)) * 8
-    unr = 8 if W <= 1024 else 1
-    vmem_est = (
-        4 * (2 * W * D_ + tile * W + 2 * capb_ * 128 * 2 + 2 * tile * D_)
-        + int(unr * 128 * W * 4 * 1.5)
-    )
+    scratch = 4 * (2 * W * D_ + tile * W + 2 * capb_ * 128 * 2 + 2 * tile * D_)
+    vmem_est = int(scratch * 2.8)
     check_input(
-        vmem_est < 15 << 20,
-        f"spmm_window VMEM estimate {vmem_est >> 20} MB exceeds the 16 MB "
-        f"scoped budget (window={window} -> W={W}, dim={D_}, tile={tile}); "
+        vmem_est < 16 << 20,
+        f"spmm_window scoped-VMEM estimate {vmem_est >> 20} MB exceeds the "
+        f"16 MB budget (window={window} -> W={W}, dim={D_}, tile={tile}); "
         "shrink the window (misses join the caller's exact residual/"
         "fallback)",
     )
