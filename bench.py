@@ -869,8 +869,12 @@ def main():
         return
     if args.metric in ("gat_layer", "gat_layer_grad"):
         # n=256K (E~5M): at n=1M the per-edge XLA baseline fails to compile
-        # (helper exit 1, every r5 sweep) — the A/B needs both sides alive
+        # (helper exit 1, every r5 sweep) — the A/B needs both sides alive.
+        # grad: 128K — the value_and_grad program at 256K still kills the
+        # compile helper (exit 1, r5b sweep)
         n = 1 << 18 if backend == "tpu" else 1 << 12
+        if args.metric == "gat_layer_grad" and backend == "tpu":
+            n = 1 << 17
         heads, dim_head = 4, 64
         eps, dt = bench_gat_layer(
             n=n, heads=heads, dim_head=dim_head, iters=args.iters,

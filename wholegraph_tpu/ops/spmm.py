@@ -212,6 +212,9 @@ def padded_reduce_windowed(
             window=windows[r], edge_cap=tile * K, tile=tile, reduce="sum",
             edge_weight=inw.astype(jnp.float32).reshape(-1),
             weight_grad=False,
+            # 0/1 mask weights are bf16-representable: the single-pass
+            # bf16 A-build is EXACT here and ~6x cheaper than HIGHEST
+            weight_precision="bf16",
         )
 
     # exact EDGE-level residual: compact out-of-window edges to a static

@@ -282,7 +282,19 @@ def _spmm_window_kernel(
                 wv = jnp.sum(
                     jnp.where(onehot_j, vT, 0), axis=1, keepdims=True
                 )
-                if wprec == "split2":
+                if wprec == "bf16":
+                    # ONE bf16 pass: EXACT when every weight is bf16-
+                    # representable (the mask-derived 0/1 weights of
+                    # padded_reduce_windowed)
+                    lhs = (
+                        oh_dst.astype(jnp.float32) * wv
+                    ).astype(jnp.bfloat16)
+                    contrib = jax.lax.dot_general(
+                        lhs, oh_src.astype(jnp.bfloat16),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                elif wprec == "split2":
                     # 2 bf16 single-pass dots: w = hi + lo (bf16 planes,
                     # ~2^-16 rel).  Each term is EXACT per pass (one-hot
                     # 1.0 x bf16 plane multiplies exactly into the f32
@@ -639,7 +651,7 @@ def spmm_window(
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    check_input(weight_precision in ("highest", "split2"),
+    check_input(weight_precision in ("highest", "split2", "bf16"),
                 f"unknown weight_precision {weight_precision!r}")
     return _spmm_window_diff(
         row_ptr, col, x, edge_weight, W, int(edge_cap), tile, reduce,
