@@ -24,6 +24,7 @@ passes vs gather+reduce, and only multi-row descriptors could go further.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+# one-dot-per-group A-build for the windowed SpMM (r5b, DESIGN.md
+# 'Windowed-kernel acc traffic'); env-overridable for silicon A/Bs
+_GROUP_DOT = int(_os.environ.get("WGTPU_SPMM_GROUP_DOT", "0")) != 0
 
 
 def _fused_agg_kernel(
@@ -196,9 +201,14 @@ def _transpose8(blk):  # [8, 128] -> [128, 8]
 def _spmm_window_kernel(
     w0s_ref, blk0s_ref, off0s_ref, ne_ref, rlo_ref, rhi_ref,
     col2_ref, w2_ref, x_ref, out_ref,
-    win, colbuf, wbuf, acc, sems, csems,
-    *, T, W, D, capb, nt, weighted, reduce, wprec="highest",
+    win, colbuf, wbuf, acc, *rest,
+    T, W, D, capb, nt, weighted, reduce, wprec="highest",
+    group_dot=False,
 ):
+    if group_dot:
+        ohd_buf, ohs_buf, sems, csems = rest
+    else:
+        sems, csems = rest
     t = pl.program_id(0)
 
     def wcopy(slot, tt):
@@ -271,6 +281,45 @@ def _spmm_window_kernel(
         if weighted:
             vT = _transpose8(wbuf[slot, pl.ds(g * 8, 8), :])
 
+        def sub_stage(j, _c):
+            # group_dot: stage each sub-block's one-hot rows into the
+            # [1024, .] group buffers — ONE dot per group replaces 8
+            # per-sub-block dots + 8 acc[T, W] read-modify-writes (the
+            # kernel's measured bottleneck, DESIGN.md 'Windowed-kernel
+            # acc traffic')
+            onehot_j = iota8 == j
+            colv = jnp.sum(jnp.where(onehot_j, cT, 0), axis=1, keepdims=True)
+            pl_sub = g * 1024 + j * 128 + iota_sub - off0
+            valid = (pl_sub >= 0) & (pl_sub < ne)
+            oh_src = ((colv - w0 == lane_W) & valid).astype(jnp.int8)
+            oh_dst = (pl_sub >= rlo_row) & (pl_sub < rhi_row) & valid
+            base = j * 128
+            if not weighted:
+                ohd_buf[pl.ds(base, 128), :] = oh_dst.astype(jnp.int8)
+                ohs_buf[pl.ds(base, 128), :] = oh_src
+            else:
+                wv = jnp.sum(
+                    jnp.where(onehot_j, vT, 0), axis=1, keepdims=True
+                )
+                ohd_f = oh_dst.astype(jnp.float32)
+                ohs_buf[pl.ds(base, 128), :] = oh_src.astype(jnp.bfloat16)
+                if wprec == "bf16":
+                    ohd_buf[0, pl.ds(base, 128), :] = (
+                        ohd_f * wv
+                    ).astype(jnp.bfloat16)
+                else:  # split2
+                    w_hi = wv.astype(jnp.bfloat16)
+                    w_lo = (wv - w_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    ohd_buf[0, pl.ds(base, 128), :] = (
+                        ohd_f * w_hi.astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+                    ohd_buf[1, pl.ds(base, 128), :] = (
+                        ohd_f * w_lo.astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+            return 0
+
         def sub(j, _c):
             onehot_j = iota8 == j
             colv = jnp.sum(jnp.where(onehot_j, cT, 0), axis=1, keepdims=True)
@@ -337,7 +386,26 @@ def _spmm_window_kernel(
             acc[...] = acc[...] + contrib
             return 0
 
-        jax.lax.fori_loop(0, 8, sub, 0, unroll=unroll_j)
+        if group_dot:
+            jax.lax.fori_loop(0, 8, sub_stage, 0, unroll=unroll_j)
+            if not weighted:
+                contrib = jax.lax.dot_general(
+                    ohd_buf[...], ohs_buf[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                contrib = jax.lax.dot_general(
+                    ohd_buf[0], ohs_buf[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if wprec == "split2":
+                    contrib = contrib + jax.lax.dot_general(
+                        ohd_buf[1], ohs_buf[...], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            acc[...] = acc[...] + contrib
+        else:
+            jax.lax.fori_loop(0, 8, sub, 0, unroll=unroll_j)
         return 0
 
     jax.lax.fori_loop(0, ng, group, 0)
@@ -441,10 +509,39 @@ def _spmm_window_impl(
         w2 = jnp.zeros((8, 128), jnp.float32)
     xpad = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((W + 32, D), jnp.float32)])
 
+    # one-dot-per-group A-build (DESIGN.md 'Windowed-kernel acc traffic'):
+    # stage the 8 sub-blocks' one-hots into [1024, .] buffers and contract
+    # the whole group once — 1/8 the acc[T, W] read-modify-writes.
+    # weighted 'highest' keeps the per-sub-block path (f32 staging would
+    # double the buffer bytes for the one mode precision already pays for).
+    group_dot = _GROUP_DOT and (not weighted or wprec in ("bf16", "split2"))
+    scratch = [
+        pltpu.VMEM((2, W, D), jnp.float32),
+        pltpu.VMEM((2, capb, 128), jnp.int32),
+        pltpu.VMEM((2, capb, 128), jnp.float32),
+        pltpu.VMEM((T, W), jnp.float32 if weighted else jnp.int32),
+    ]
+    if group_dot:
+        if weighted:
+            nplane = 2 if wprec == "split2" else 1
+            scratch += [
+                pltpu.VMEM((nplane, 1024, T), jnp.bfloat16),
+                pltpu.VMEM((1024, W), jnp.bfloat16),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((1024, T), jnp.int8),
+                pltpu.VMEM((1024, W), jnp.int8),
+            ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
     out = pl.pallas_call(
         functools.partial(
             _spmm_window_kernel, T=T, W=W, D=D, capb=capb, nt=nt,
             weighted=weighted, reduce=reduce, wprec=wprec,
+            group_dot=group_dot,
         ),
         grid=(nt,),
         in_specs=[
@@ -460,14 +557,7 @@ def _spmm_window_impl(
         ],
         out_specs=pl.BlockSpec((T, D), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, W, D), jnp.float32),
-            pltpu.VMEM((2, capb, 128), jnp.int32),
-            pltpu.VMEM((2, capb, 128), jnp.float32),
-            pltpu.VMEM((T, W), jnp.float32 if weighted else jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(w0s, blk0s, off0s, ne, rlo_p, rhi_p, col2, w2, xpad)
