@@ -45,22 +45,31 @@ def measure_median(step, iters, *args, runs=3):
 
 
 def measure_eager(step, iters, *args, runs=3):
-    """Per-call timing with a scalar fetch after every step: tunnel-safe for
-    steps >~100 ms (the ~RTT fetch amortises), and — unlike measure_chain —
-    does not fuse the steps into one fori_loop program (the GAT chain
-    program kills the TPU worker, scripts/exp_gat_chain.py; eager-repeat of
-    the SAME step is stable)."""
+    """Eager-repeat timing with the tunnel RTT differenced out: dispatch k
+    then 2k calls (PJRT executes them in order on the device stream), fetch
+    ONE scalar at the end of each batch, and difference — the fixed
+    dispatch+fetch round trip (~200-350 ms through axon, polluting ~30% of
+    a 1 s step) cancels like measure_chain's calibration.  Unlike
+    measure_chain it does not fuse the steps into one fori program (the
+    GAT chain program kills the TPU worker, scripts/exp_gat_chain.py)."""
     import time
 
     f = jax.jit(step)
-    i0 = jnp.int32(0)
-    float(f(i0, *args))  # compile + warm
+    float(f(jnp.int32(0), *args))  # compile + warm
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = f(jnp.int32(i), *args)
+        float(out)
+        return time.perf_counter() - t0
+
     samples = []
     for r in range(runs):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            float(f(jnp.int32(i), *args))
-        samples.append((time.perf_counter() - t0) / iters)
+        t1 = run(iters)
+        t2 = run(2 * iters)
+        samples.append((t2 - t1) / iters)
     return sorted(samples)[len(samples) // 2]
 
 
