@@ -14,3 +14,10 @@ WGTPU_SPMM_GROUP_DOT=1 timeout 1500 python bench.py --metric spmm_sampled 2>/dev
 echo "=== gat_layer group_dot=1 ($(date +%H:%M:%S))"
 WGTPU_SPMM_GROUP_DOT=1 timeout 1500 python bench.py --metric gat_layer 2>/dev/null | tail -1
 echo "=== batch9 done ($(date +%H:%M:%S))"
+echo "=== exp_spmm_matrix ($(date +%H:%M:%S))"
+timeout 3000 python scripts/exp_spmm_matrix.py 2>&1 | tail -24
+echo "=== gat_layer RTT-corrected ($(date +%H:%M:%S))"
+timeout 1500 python bench.py --metric gat_layer 2>/dev/null | tail -1
+echo "=== gat_layer_xla RTT-corrected ($(date +%H:%M:%S))"
+timeout 1500 python bench.py --metric gat_layer --gat-xla 2>/dev/null | tail -1
+echo "=== batch9b done ($(date +%H:%M:%S))"
